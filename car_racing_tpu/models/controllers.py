@@ -1,0 +1,521 @@
+"""Controller solve functions — pure, jitted, vmappable.
+
+Each controller from the reference's control layer
+(car_racing/control/control.py) re-built TPU-first:
+
+- :func:`pid`      (reference control.py:15-25)
+- :func:`lqr`      (control.py:28-61)   — Riccati fixed point via lax.scan
+- :func:`mpc_lti`  (control.py:198-248) — condensed QP -> interior point
+- :func:`ilqr`     (control.py:64-195)  — scan-based iLQR with CBF cost
+- :func:`mpccbf`   (control.py:476-607) — NLP with discrete CBF rows -> IPM
+- :func:`lmpc`     (control.py:610-730) — convex-safe-set QP -> IPM
+
+Where the reference gates obstacles / builds constraint topology with
+Python-side conditionals, these use static-shape masks (inactive rows are
+replaced with trivially-satisfied constraints), so one compiled program
+covers every obstacle configuration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ipm, ocp, riccati
+from ..utils.constants import U_DIM, X_DIM
+from ..utils.params import (
+    ILQRParam,
+    LMPCParam,
+    LQRParam,
+    MPCCBFParam,
+    MPCParam,
+    SystemParam,
+)
+
+
+def target_state(vt, eyt, dtype=jnp.float32):
+    return jnp.array([vt, 0.0, 0.0, 0.0, 0.0, eyt], dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# PID (control.py:15-25)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pid(xcurv: jax.Array, xtarget: jax.Array) -> jax.Array:
+    delta = -0.6 * (xcurv[5] - xtarget[5]) - 0.9 * xcurv[3]
+    a = 1.5 * (xtarget[0] - xcurv[0])
+    return jnp.stack([delta, a])
+
+
+# ---------------------------------------------------------------------------
+# LQR (control.py:28-61)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def lqr(xcurv: jax.Array, xtarget: jax.Array, param: LQRParam) -> jax.Array:
+    _, K = riccati.dare_iterate(param.A, param.B, param.Q, param.R, param.max_iter)
+    return -K @ (xcurv - xtarget)
+
+
+# ---------------------------------------------------------------------------
+# MPC-LTI tracking (control.py:198-248)
+# ---------------------------------------------------------------------------
+
+
+def _tracking_qp(param, sys_param: SystemParam, track_width, x0, xtarget, extra_cost=None):
+    """Condensed QP shared by MPC-LTI (and the CBF problem's convex part)."""
+    N = param.num_horizon
+    A_seq, B_seq, C_seq = ocp.lti_sequences(param.A, param.B, N)
+    phi, G = ocp.condense(A_seq, B_seq, C_seq, x0)
+    x_targets = jnp.broadcast_to(xtarget, (N, X_DIM))
+    H, g = ocp.quadratic_tracking_cost(phi, G, param.Q, param.R, x_targets, N)
+    n_z = N * U_DIM
+    u_min = jnp.stack([-sys_param.delta_max, -sys_param.a_max])
+    u_max = jnp.stack([sys_param.delta_max, sys_param.a_max])
+    C_u, d_u = ocp.input_box_rows(N, U_DIM, u_min, u_max, n_z)
+    C_vx, d_vx = ocp.state_bound_rows(G, phi, 0, sys_param.v_min, sys_param.v_max, n_z)
+    C_ey, d_ey = ocp.state_bound_rows(G, phi, 5, -track_width, track_width, n_z)
+    C, d = ocp.stack_rows((C_u, d_u), (C_vx, d_vx), (C_ey, d_ey))
+    E = jnp.zeros((0, n_z), H.dtype)
+    e = jnp.zeros((0,), H.dtype)
+    return ipm.QP(H=H, g=g, C=C, d=d, E=E, e=e), phi, G
+
+
+@partial(jax.jit, static_argnames=("return_traj",))
+def mpc_lti(
+    xcurv: jax.Array,
+    xtarget: jax.Array,
+    param: MPCParam,
+    sys_param: SystemParam,
+    track_width: jax.Array,
+    u_warm: jax.Array | None = None,
+    return_traj: bool = False,
+):
+    """MPC tracking QP: LTI dynamics, box input/state rows, track width.
+
+    Returns u_0 (and optionally (U, X) open-loop trajectories).
+    """
+    N = param.num_horizon
+    qp, phi, G = _tracking_qp(param, sys_param, track_width, xcurv, xtarget)
+    z0 = u_warm if u_warm is not None else jnp.zeros(N * U_DIM, qp.H.dtype)
+    sol = ipm.solve_qp(qp, z0, iters=30)
+    U = sol.z.reshape(N, U_DIM)
+    if return_traj:
+        X = ocp.unpack_states(phi, G, sol.z, xcurv)
+        return U[0], U, X
+    return U[0]
+
+
+# ---------------------------------------------------------------------------
+# iLQR with CBF repelling cost (control.py:64-195, ilqr_helper.py)
+# ---------------------------------------------------------------------------
+
+
+def _ilqr_cost_terms(param, xvar, uvar, xtarget, obs_traj, agent_half, obs_half):
+    """Stage cost derivatives incl. the CBF repelling term
+    (reference ilqr_helper.get_cost_derivation, ilqr_helper.py:4-48).
+
+    xvar: (N+1, X_DIM) current trajectory; obs_traj: (N, X_DIM) obstacle
+    positions over the horizon (the reference keeps only the final listed
+    obstacle, control.py:100-105 — callers replicate that by passing it).
+    """
+    N = uvar.shape[0]
+    Q, R = param.Q, param.R
+    safety_margin = 0.15
+    q1 = q2 = 2.5
+    l_half, w_half = agent_half[0] + obs_half[0], agent_half[1] + obs_half[1]
+    P_diag = jnp.array([0.0, 0.0, 0.0, 0.0, 1.0 / l_half**2, 1.0 / w_half**2])
+
+    def stage(xk, uk, obs_k):
+        dx = xk - xtarget
+        l_x = 2 * Q @ dx
+        l_xx = 2 * Q
+        l_u = 2 * R @ uk
+        l_uu = 2 * R
+        diff = jnp.array([0.0, 0.0, 0.0, 0.0, xk[4] - obs_k[4], xk[5] - obs_k[5]])
+        h = 1.0 + safety_margin - jnp.sum(P_diag * diff * diff)
+        h_dot = -2.0 * P_diag * diff
+        b_dot = q1 * q2 * jnp.exp(q2 * h) * h_dot
+        b_ddot = q1 * q2**2 * jnp.exp(q2 * h) * jnp.outer(h_dot, h_dot)
+        return l_x + b_dot, l_xx + b_ddot, l_u, l_uu
+
+    l_x, l_xx, l_u, l_uu = jax.vmap(stage)(xvar[:N], uvar, obs_traj[:N])
+    return l_x, l_u, l_xx, l_uu
+
+
+@jax.jit
+def ilqr(
+    xcurv: jax.Array,
+    xtarget: jax.Array,
+    param: ILQRParam,
+    obs_traj: jax.Array,
+    agent_half: jax.Array,
+    obs_half: jax.Array,
+) -> jax.Array:
+    """iLQR on the LTI model with a CBF repelling obstacle cost.
+
+    Mirrors the reference solve (control.py:111-191): forward rollout,
+    eigen-regularized backward pass, accept/reject with a Levenberg lambda
+    schedule (x10 up / /10 down, capped at 1000) — all under one lax.scan
+    with masked accept/reject instead of Python break/continue.
+    """
+    N = param.num_horizon
+    A, B = param.A, param.B
+    dtype = xcurv.dtype
+
+    def rollout(uvar):
+        def body(x, u):
+            x_next = A @ x + B @ u
+            return x_next, x
+
+        xT, xs = jax.lax.scan(body, xcurv, uvar)
+        return jnp.concatenate([xs, xT[None]], axis=0)
+
+    def total_cost(xvar, uvar):
+        dx = xvar - xtarget
+        cx = jnp.einsum("ki,ij,kj->", dx, param.Q, dx)
+        cu = jnp.einsum("ki,ij,kj->", uvar, param.R, uvar)
+        return cx + cu
+
+    def iteration(carry, _):
+        uvar, xvar, cost, lamb, done = carry
+        l_x, l_u, l_xx, l_uu = _ilqr_cost_terms(
+            param, xvar, uvar, xtarget, obs_traj, agent_half, obs_half
+        )
+        Vx_T = 2 * param.Q @ (xvar[N] - xtarget)
+        Vxx_T = 2 * param.Q
+        f_x = jnp.broadcast_to(A, (N,) + A.shape)
+        f_u = jnp.broadcast_to(B, (N,) + B.shape)
+        ks, Ks = riccati.tvlqr_backward(f_x, f_u, l_x, l_u, l_xx, l_uu, Vx_T, Vxx_T, lamb)
+        xs_new, us_new = riccati.tvlqr_rollout(A, B, xcurv, uvar, xvar[:N], ks, Ks)
+        cost_new = total_cost(xs_new, us_new)
+        accept = cost_new < cost
+        conv = jnp.abs((cost_new - cost) / jnp.maximum(jnp.abs(cost), 1e-12)) < 0.01
+        uvar = jnp.where(accept & ~done, us_new, uvar)
+        xvar = jnp.where(accept & ~done, xs_new, xvar)
+        cost = jnp.where(accept & ~done, cost_new, cost)
+        lamb_next = jnp.where(accept, lamb / 10.0, lamb * 10.0)
+        done = done | (accept & conv) | (lamb_next > 1000.0)
+        lamb = jnp.where(done, lamb, lamb_next)
+        return (uvar, xvar, cost, lamb, done), None
+
+    u0 = jnp.zeros((N, U_DIM), dtype)
+    x0_traj = rollout(u0)
+    init = (u0, x0_traj, total_cost(x0_traj, u0), jnp.asarray(1.0, dtype), jnp.asarray(False))
+    (uvar, _, _, _, _), _ = jax.lax.scan(iteration, init, None, length=param.max_iter)
+    return uvar[0]
+
+
+# ---------------------------------------------------------------------------
+# MPC-CBF (control.py:476-607)
+# ---------------------------------------------------------------------------
+
+
+def obstacle_gate_mask(xcurv, obs_first_s, lap_length, safety_time=2.0):
+    """Nearby-obstacle gating (control.py:499-523) as a mask: obstacle k is
+    considered iff its wrapped s is within +-(vx * safety_time) of ego's."""
+    margin = xcurv[0] * safety_time
+    dist_ego = jnp.mod(xcurv[4], lap_length)
+    dist_obs = jnp.mod(obs_first_s, lap_length)
+    return (dist_ego > dist_obs - margin) & (dist_ego < dist_obs + margin)
+
+
+def _cbf_nlp(
+    xcurv,
+    x_targets,  # (N, X_DIM) per-stage targets for x_1..x_N
+    A,
+    B,
+    Q,
+    R,
+    N: int,
+    sys_param: SystemParam,
+    track_width,
+    obs_trajs,
+    obs_mask,
+    agent_half,
+    obs_halfs,
+    lap_length,
+    alpha,
+    safety_margin,
+    z_warm,
+    iters: int,
+):
+    """Shared CBF-constrained MPC core used by :func:`mpccbf` (margin 0.2,
+    alpha from the param) and :func:`mpc_multi_agents` (margin 0.15,
+    alpha 0.6, interpolated targets) — reference control.py:476-607 and
+    control.py:251-473."""
+    n_obs = obs_trajs.shape[0]
+    dtype = xcurv.dtype
+    degree = 6
+
+    A_seq, B_seq, C_seq = ocp.lti_sequences(A, B, N)
+    phi, G = ocp.condense(A_seq, B_seq, C_seq, xcurv)
+
+    n_u = N * U_DIM
+    n_z = n_u + n_obs * (N + 1)
+    num_cycle_ego = jnp.floor(xcurv[4] / lap_length)
+
+    def states_of(z):
+        return ocp.unpack_states(phi, G, z[:n_u], xcurv)  # (N+1, X_DIM)
+
+    def barrier_h(xk, slack_k, obs_k, halfs, wrap_offset):
+        l_sum = agent_half[0] + halfs[0]
+        w_sum = agent_half[1] + halfs[1]
+        diffs = xk[4] - obs_k[4] - wrap_offset
+        diffey = xk[5] - obs_k[5]
+        return (
+            diffs**degree / l_sum**degree
+            + diffey**degree / w_sum**degree
+            - 1.0
+            - safety_margin
+            - slack_k
+        )
+
+    def cost(z):
+        X = states_of(z)
+        dx = X[1:] - x_targets
+        c = jnp.einsum("ki,ij,kj->", dx, Q, dx)
+        U = z[:n_u].reshape(N, U_DIM)
+        c += jnp.einsum("ki,ij,kj->", U, R, U)
+        slack = z[n_u:].reshape(n_obs, N + 1)
+        c += 1e4 * jnp.sum(jnp.where(obs_mask[:, None], slack, 0.0))
+        return c
+
+    def c_ineq(z):
+        X = states_of(z)
+        U = z[:n_u].reshape(N, U_DIM)
+        slack = z[n_u:].reshape(n_obs, N + 1)
+
+        rows_u = jnp.concatenate(
+            [
+                sys_param.delta_max - U[:, 0],
+                U[:, 0] + sys_param.delta_max,
+                sys_param.a_max - U[:, 1],
+                U[:, 1] + sys_param.a_max,
+            ]
+        )
+        rows_x = jnp.concatenate(
+            [
+                sys_param.v_max - X[1:, 0],
+                X[1:, 0] - sys_param.v_min,
+                track_width - X[1:, 5],
+                X[1:, 5] + track_width,
+            ]
+        )
+
+        # note: the reference applies the lap-wrap offset only to the h_k
+        # term and not h_{k+1} (control.py:539-543); replicated here.
+        cbf_rows = []
+        for i in range(n_obs):
+            obs_traj = obs_trajs[i]
+            halfs = obs_halfs[i]
+            num_cycle_obs = jnp.floor(obs_traj[0, 4] / lap_length)
+            wrap_offset = (num_cycle_ego - num_cycle_obs) * lap_length
+            sl = slack[i]
+            h_k = jax.vmap(
+                lambda k_x, k_s, k_o: barrier_h(k_x, k_s, k_o, halfs, wrap_offset)
+            )(X[:N], sl[:N], obs_traj[:N])
+            h_n = jax.vmap(lambda k_x, k_s, k_o: barrier_h(k_x, k_s, k_o, halfs, 0.0))(
+                X[1 : N + 1], sl[1 : N + 1], obs_traj[1 : N + 1]
+            )
+            rows = h_n - h_k + alpha * h_k
+            rows = jnp.where(obs_mask[i], rows, 1.0)  # inactive -> satisfied
+            cbf_rows.append(rows)
+        rows_cbf = jnp.concatenate(cbf_rows) if cbf_rows else jnp.zeros(0, dtype)
+        rows_slack = slack.reshape(-1)  # slack >= 0
+        return jnp.concatenate([rows_u, rows_x, rows_cbf, rows_slack])
+
+    z0 = z_warm if z_warm is not None else jnp.zeros(n_z, dtype)
+    z0 = z0.at[n_u:].set(jnp.maximum(z0[n_u:], 0.1))
+    sol = ipm.solve(cost, c_ineq, z0, iters=iters)
+    U = sol.z[:n_u].reshape(N, U_DIM)
+    return U, states_of(sol.z), sol
+
+
+@partial(jax.jit, static_argnames=("return_traj",))
+def mpccbf(
+    xcurv: jax.Array,
+    xtarget: jax.Array,
+    param: MPCCBFParam,
+    sys_param: SystemParam,
+    track_width: jax.Array,
+    obs_trajs: jax.Array,  # (n_obs, N+1, X_DIM) obstacle predictions
+    obs_mask: jax.Array,  # (n_obs,) bool — False rows are ignored
+    agent_half: jax.Array,  # (2,) ego (length/2, width/2)
+    obs_halfs: jax.Array,  # (n_obs, 2)
+    lap_length: jax.Array,
+    z_warm: jax.Array | None = None,
+    return_traj: bool = False,
+):
+    """MPC with discrete-time control-barrier-function rows per obstacle.
+
+    Degree-6 superellipse barrier h and rows ``h_{k+1} - h_k >= -alpha h_k``
+    with slack (>=0, 1e4-weighted in cost) exactly as control.py:524-562;
+    obstacle gating becomes ``obs_mask`` (static shapes, masked rows).
+    """
+    N = param.num_horizon
+    x_targets = jnp.broadcast_to(xtarget, (N, X_DIM))
+    U, X, sol = _cbf_nlp(
+        xcurv,
+        x_targets,
+        param.A,
+        param.B,
+        param.Q,
+        param.R,
+        N,
+        sys_param,
+        track_width,
+        obs_trajs,
+        obs_mask,
+        agent_half,
+        obs_halfs,
+        lap_length,
+        param.alpha,
+        0.2,
+        z_warm,
+        iters=40,
+    )
+    if return_traj:
+        return U[0], U, X, sol
+    return U[0]
+
+
+@jax.jit
+def mpc_multi_agents(
+    xcurv: jax.Array,
+    x_targets: jax.Array,  # (N, X_DIM) interpolated overtake targets
+    racing_game_A: jax.Array,
+    racing_game_B: jax.Array,
+    racing_game_Q: jax.Array,
+    racing_game_R: jax.Array,
+    sys_param: SystemParam,
+    track_width: jax.Array,
+    obs_trajs: jax.Array,
+    obs_mask: jax.Array,
+    agent_half: jax.Array,
+    obs_halfs: jax.Array,
+    lap_length: jax.Array,
+    z_warm: jax.Array | None = None,
+):
+    """Racing-game overtake tracker (reference mpc_multi_agents,
+    control.py:251-473, with its hardcoded CBF_Flag=True branch: safety
+    margin 0.15, alpha 0.6; the non-CBF geometric no-overlap rows at
+    control.py:383-445 are dead code in the reference and not rebuilt).
+    Targets interpolate the planner trajectory's ey over predicted s
+    (control.py:277,373-382).  Returns (u0, U, X)."""
+    N = x_targets.shape[0]
+    U, X, sol = _cbf_nlp(
+        xcurv,
+        x_targets,
+        racing_game_A,
+        racing_game_B,
+        racing_game_Q,
+        racing_game_R,
+        N,
+        sys_param,
+        track_width,
+        obs_trajs,
+        obs_mask,
+        agent_half,
+        obs_halfs,
+        lap_length,
+        jnp.asarray(0.6, xcurv.dtype),
+        0.15,
+        z_warm,
+        iters=40,
+    )
+    return U[0], U, X
+
+
+# ---------------------------------------------------------------------------
+# LMPC (control.py:610-730)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_horizon",))
+def lmpc(
+    xcurv: jax.Array,
+    param: LMPCParam,
+    A_seq: jax.Array,  # (N, X, X) TV linearization
+    B_seq: jax.Array,  # (N, X, U)
+    C_seq: jax.Array,  # (N, X)
+    ss_points: jax.Array,  # (X_DIM, K) selected safe-set points
+    Qfun_points: jax.Array,  # (K,) their cost-to-go
+    u_prev: jax.Array,  # (U_DIM,) previous applied input
+    sys_param: SystemParam,
+    lap_length: jax.Array,
+    lap_width: jax.Array,
+    z_warm: jax.Array | None = None,
+    num_horizon: int = 12,
+):
+    """LMPC step: QP with convex-safe-set terminal constraint.
+
+    Decision z = [U (N*U_DIM); lambda (K)].  Terminal equality
+    x_N = SS @ lambda, 1'lambda = 1, lambda >= 0; cost = input + input-rate +
+    Qfun . lambda (the reference's slack is constrained to zero at
+    control.py:693-694, so it is omitted).  Returns (u_pred (N,U), x_pred
+    (N+1,X), converged flag).
+    """
+    N = num_horizon
+    K = Qfun_points.shape[0]
+    dtype = xcurv.dtype
+    phi, G = ocp.condense(A_seq, B_seq, C_seq, xcurv)
+    n_u = N * U_DIM
+    n_z = n_u + K
+
+    x_track = jnp.array([5.0, 0, 0, 0, 0, 0], dtype)
+    x_targets = jnp.broadcast_to(x_track, (N, X_DIM))
+    H_u, g_u = ocp.quadratic_tracking_cost(phi, G, param.Q, param.R, x_targets, N)
+    H_dr, g_dr = ocp.input_rate_cost(param.dR, N, u_prev)
+    H = jnp.zeros((n_z, n_z), dtype)
+    H = H.at[:n_u, :n_u].set(H_u + H_dr)
+    g = jnp.zeros(n_z, dtype).at[:n_u].set(g_u + g_dr)
+    g = g.at[n_u:].set(Qfun_points)
+
+    # terminal equality: x_N(U) - SS lambda = 0 ; sum lambda = 1
+    GN = G[-X_DIM:]  # rows of x_N
+    phiN = phi[-X_DIM:]
+    E = jnp.zeros((X_DIM + 1, n_z), dtype)
+    E = E.at[:X_DIM, :n_u].set(GN)
+    E = E.at[:X_DIM, n_u:].set(-ss_points)
+    E = E.at[X_DIM, n_u:].set(1.0)
+    e = jnp.concatenate([-phiN, jnp.ones(1, dtype)])
+
+    # inequalities: u box; vx <= vmax, |ey| <= width for k=1..N-1 (the
+    # reference constrains stages 0..N-1, control.py:652-666 — stage 0 is
+    # fixed, stage N is in the safe-set hull); lambda >= 0
+    u_min = jnp.stack([-sys_param.delta_max, -sys_param.a_max])
+    u_max = jnp.stack([sys_param.delta_max, sys_param.a_max])
+    C_u, d_u = ocp.input_box_rows(N, U_DIM, u_min, u_max, n_z)
+    sel = jnp.arange(N - 1) * X_DIM  # x_1..x_{N-1}
+    G_vx = jnp.zeros((N - 1, n_z), dtype).at[:, :n_u].set(G[sel + 0])
+    G_ey = jnp.zeros((N - 1, n_z), dtype).at[:, :n_u].set(G[sel + 5])
+    p_vx = phi[sel + 0]
+    p_ey = phi[sel + 5]
+    C_lam = jnp.zeros((K, n_z), dtype).at[:, n_u:].set(jnp.eye(K, dtype=dtype))
+    C = jnp.concatenate([C_u, -G_vx, G_ey, -G_ey, C_lam], axis=0)
+    d = jnp.concatenate(
+        [
+            d_u,
+            p_vx - sys_param.v_max,
+            -lap_width - p_ey,
+            p_ey - lap_width,
+            jnp.zeros(K, dtype),
+        ]
+    )
+
+    qp = ipm.QP(H=H, g=g, C=C, d=d, E=E, e=e)
+    z0 = (
+        z_warm
+        if z_warm is not None
+        else jnp.zeros(n_z, dtype).at[n_u:].set(1.0 / K)
+    )
+    sol = ipm.solve_qp(qp, z0, iters=40)
+    U = sol.z[:n_u].reshape(N, U_DIM)
+    X = ocp.unpack_states(phi, G, sol.z[:n_u], xcurv)
+    return U, X, sol

@@ -1,0 +1,546 @@
+"""Overtake planners: corridor branch optimization as one vmapped QP batch.
+
+Rebuild of the reference's planning layer (car_racing/planning/):
+
+- :class:`OvertakeTrajPlanner` (overtake_traj_planner.py) — the reference
+  spawns one OS process per corridor NLP and gathers results through
+  ``multiprocess.Manager`` dicts (overtake_traj_planner.py:177-204).  Here
+  every corridor's problem is built as a *convex QP over the condensed
+  input sequence* (the reference NLP's only nonlinearity is IPOPT's
+  treatment — dynamics are LTI, all constraint rows and the cost are
+  linear/quadratic with constant gating) and the whole branch batch is
+  solved by ``vmap(solve_qp)`` on one chip; across chips the batch shards
+  over a device mesh (see car_racing_tpu.parallel).
+- :class:`OvertakePathPlanner` (overtake_path_planner.py) — per-corridor
+  1-D ey profile QPs, same treatment.
+
+Branch selection (progress / collision / direction-switch-hysteresis cost,
+overtake_traj_planner.py:205-244) is a vectorized reduction.
+
+Replicated behavioral quirks (documented, kept for parity):
+- the corridor no-overlap rows use ``diffey >= veh_width + margin`` for
+  *both* the left and right neighbor (overtake_traj_planner.py:293-322);
+- input bounds are hardcoded (|delta| <= 0.5, |a| <= 1.5), not taken from
+  SystemParam (overtake_traj_planner.py:280-284).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import controllers
+from ..ops import bezier, ipm, ocp, track as track_ops
+from ..utils.constants import U_DIM, X_DIM
+
+
+# ---------------------------------------------------------------------------
+# overtake decision (planner_helper.py:218-266)
+# ---------------------------------------------------------------------------
+
+
+def check_ego_agent_distance(ego_xcurv, agent_xcurv, ego_length, safety_factor,
+                             prediction_factor, lap_length):
+    """Proximity trigger with lap-wrap handling (planner_helper.py:218-266)."""
+    delta_v = abs(ego_xcurv[0] - agent_xcurv[0])
+    s_agent = agent_xcurv[4] % lap_length
+    s_ego = ego_xcurv[4] % lap_length
+    front = safety_factor * ego_length + prediction_factor * delta_v
+    behind = 1.0 * ego_length
+    return (
+        (0 <= s_agent - s_ego <= front)
+        or (0 <= s_agent + lap_length - s_ego <= front)
+        or (0 <= s_ego - s_agent <= behind)
+        or (0 <= s_ego + lap_length - s_agent <= behind)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vmapped branch QP (generate_traj_per_region, overtake_traj_planner.py:248-379)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_horizon",))
+def _solve_branch_batch(
+    xcurv_ego: jax.Array,  # (X_DIM,)
+    A: jax.Array,
+    B: jax.Array,
+    track_width: jax.Array,
+    veh_width: jax.Array,
+    bezier_samples: jax.Array,  # (n_br, N+1, 2) sampled corridor curves
+    left_obs_ey: jax.Array,  # (n_br, N) left-neighbor ey over horizon
+    left_gate: jax.Array,  # (n_br, N) bool — constraint row active
+    right_obs_ey: jax.Array,  # (n_br, N)
+    right_gate: jax.Array,  # (n_br, N)
+    num_horizon: int = 10,
+):
+    """Solve all corridor QPs at once. Returns (X (n_br, N+1, X_DIM),
+    qp_cost (n_br,), converged (n_br,))."""
+    N = num_horizon
+    dtype = xcurv_ego.dtype
+    n_u = N * U_DIM
+
+    A_seq, B_seq, C_seq = ocp.lti_sequences(A, B, N)
+    phi, G = ocp.condense(A_seq, B_seq, C_seq, xcurv_ego)
+
+    # constant per-stage reference s and its bezier ey per branch
+    ks = jnp.arange(N + 1, dtype=dtype)
+    s_pred = xcurv_ego[4] + ks * 0.1 * xcurv_ego[0]
+
+    def branch_qp(bez, l_ey, l_gate, r_ey, r_gate):
+        s_ref = jnp.clip(s_pred, bez[0, 0], bez[-1, 0])
+        ey_ref = jax.vmap(lambda s: jnp.interp(s, bez[:, 0], bez[:, 1]))(s_ref)
+
+        # cost over z = U: build H, g by quadratic form on selected rows
+        sel_s = jnp.arange(N) * X_DIM + 4  # s rows of x_1..x_N
+        sel_ey = jnp.arange(N) * X_DIM + 5
+        G_s, p_s = G[sel_s], phi[sel_s]
+        G_ey, p_ey = G[sel_ey], phi[sel_ey]
+
+        H = jnp.zeros((n_u, n_u), dtype)
+        g = jnp.zeros(n_u, dtype)
+        # bezier tracking: 20 * sum_{j=1..N} (ey_j - ey_ref_j)^2 + (s_j - s_ref_j)^2
+        # (j=0 terms are constants)
+        H += 2 * 20.0 * (G_ey.T @ G_ey + G_s.T @ G_s)
+        g += 2 * 20.0 * (G_ey.T @ (p_ey - ey_ref[1:]) + G_s.T @ (p_s - s_ref[1:]))
+        # smoothness: 30 * sum_{k=2..N-1} (ey_k - ey_{k-1})^2
+        D = G_ey[1 : N - 1] - G_ey[0 : N - 2]  # ey_2-ey_1 ... ey_{N-1}-ey_{N-2}
+        dp = p_ey[1 : N - 1] - p_ey[0 : N - 2]
+        H += 2 * 30.0 * (D.T @ D)
+        g += 2 * 30.0 * (D.T @ dp)
+        # progress: -200 * (s_N - s_0); s_0 constant
+        H_prog_g = -200.0 * G[-X_DIM + 4]  # row of s_N
+        g += H_prog_g
+        H += 1e-9 * jnp.eye(n_u, dtype=dtype)  # strictly convex
+
+        # constraints Cz >= d
+        rows = []
+        ds = []
+        # u bounds (hardcoded in the reference)
+        I_u = jnp.eye(n_u, dtype=dtype)
+        u_lo = jnp.tile(jnp.asarray([-0.5, -1.5], dtype), N)
+        u_hi = jnp.tile(jnp.asarray([0.5, 1.5], dtype), N)
+        rows += [I_u, -I_u]
+        ds += [u_lo, -u_hi]
+        # vx_{k+1} <= 5.0 for k=0..N-1
+        sel_vx = jnp.arange(N) * X_DIM + 0
+        rows += [-G[sel_vx]]
+        ds += [phi[sel_vx] - 5.0]
+        # ey bounds for stages 1..N-1 (stage 0 constant, stage N unbounded)
+        bound = track_width - 0.5 * veh_width
+        G_eyb, p_eyb = G_ey[: N - 1], p_ey[: N - 1]
+        rows += [G_eyb, -G_eyb]
+        ds += [-bound - p_eyb, p_eyb - bound]
+        # corridor rows: ey_k - obs_ey_k >= veh_width + 0.15 where gated,
+        # stages k=1..N-1 (stage-0 rows are constants in the reference too)
+        margin = veh_width + 0.15
+        for obs_ey, gate in ((l_ey, l_gate), (r_ey, r_gate)):
+            act = gate[1:N]
+            Cg = jnp.where(act[:, None], G_ey[: N - 1], 0.0)
+            dg = jnp.where(act, margin + obs_ey[1:N] - p_ey[: N - 1], -1.0)
+            rows += [Cg]
+            ds += [dg]
+
+        C = jnp.concatenate(rows, axis=0)
+        d = jnp.concatenate(ds)
+        qp = ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
+        sol = ipm.solve_qp(qp, jnp.zeros(n_u, dtype), iters=30)
+        X = ocp.unpack_states(phi, G, sol.z, xcurv_ego)
+        qp_cost = 0.5 * sol.z @ H @ sol.z + g @ sol.z
+        return X, qp_cost, sol.converged
+
+    return jax.vmap(branch_qp)(
+        bezier_samples, left_obs_ey, left_gate, right_obs_ey, right_gate
+    )
+
+
+class OvertakeTrajPlanner:
+    """Trajectory-based overtake planner (overtake_traj_planner.py:11-379)."""
+
+    def __init__(self, racing_game_param):
+        self.racing_game_param = racing_game_param
+        self.vehicles = None
+        self.agent_name = None
+        self.track = None
+        self.opti_traj_xcurv = None
+        self.timestep = 0.1
+
+    def get_overtake_flag(self, xcurv_ego):
+        overtake_flag = False
+        vehicles_interest = {}
+        ego = self.vehicles[self.agent_name]
+        for name in self.vehicles:
+            if name == self.agent_name:
+                continue
+            if check_ego_agent_distance(
+                ego.xcurv,
+                self.vehicles[name].xcurv,
+                float(ego.param.length),
+                float(self.racing_game_param.safety_factor),
+                float(self.racing_game_param.planning_prediction_factor),
+                float(self.track.lap_length),
+            ):
+                overtake_flag = True
+                vehicles_interest[name] = self.vehicles[name]
+        return overtake_flag, vehicles_interest
+
+    def get_local_traj(
+        self,
+        xcurv_ego,
+        time,
+        vehicles_interest,
+        matrix_Atv=None,
+        matrix_Btv=None,
+        matrix_Ctv=None,
+        old_ey=None,
+        old_direction_flag=None,
+    ):
+        """Plan the overtake trajectory.  Returns the reference's 8-tuple
+        (overtake_traj_planner.py:151-160)."""
+        track = self.track
+        param = self.racing_game_param
+        N = param.num_horizon_planner
+        lap_length = float(track.lap_length)
+        vehicles = self.vehicles
+        ego = vehicles[self.agent_name]
+        veh_length = float(ego.param.length)
+        veh_width = float(ego.param.width)
+
+        # sort vehicles of interest by ey, biggest (leftmost) first
+        # (overtake_traj_planner.py:70-92)
+        names = list(vehicles_interest)
+        sorted_vehicles = sorted(
+            names, key=lambda n: -float(vehicles_interest[n].xcurv[5])
+        )
+        num_veh = len(sorted_vehicles)
+        obs_trajs = np.zeros((num_veh, N + 1, X_DIM))
+        veh_infos = np.zeros((num_veh, 3))
+        for i, name in enumerate(sorted_vehicles):
+            xc, _ = vehicles[name].get_trajectory_nsteps(time, self.timestep, N + 1)
+            obs_trajs[i] = xc.T
+            veh_infos[i] = (
+                float(vehicles[name].xcurv[4]),
+                xc[5, :].max(),
+                xc[5, :].min(),
+            )
+
+        # agent aggregates (planner_helper.py:177-201)
+        ego_vx = float(ego.xcurv[0])
+        agent_vxs = [float(vehicles[n].xcurv[0]) for n in sorted_vehicles]
+        delta_vs = [abs(ego_vx - v) for v in agent_vxs]
+        curv_dists = [
+            float(vehicles[n].xcurv[4]) + (lap_length if float(vehicles[n].xcurv[4]) <= 20 else 0)
+            for n in sorted_vehicles
+        ]
+        max_delta_v = max(delta_vs)
+        max_s = max(curv_dists) % lap_length
+
+        # corridor Bezier references
+        cp = bezier.corridor_control_points(
+            num_veh,
+            jnp.asarray(xcurv_ego),
+            jnp.asarray(veh_infos),
+            jnp.asarray(max_delta_v),
+            jnp.asarray(lap_length),
+            track.width,
+            jnp.asarray(veh_width),
+            jnp.asarray(self.opti_traj_xcurv),
+            param.planning_prediction_factor,
+        )
+        bezier_samples = bezier.sample_corridors(cp, N + 1)  # (n_br, N+1, 2)
+
+        # per-branch neighbor data + gating (constants; the gate uses the
+        # constant-velocity ego s prediction, overtake_traj_planner.py:295-301)
+        n_br = num_veh + 1
+        s_pred = float(xcurv_ego[4]) + np.arange(N + 1) * 0.1 * float(xcurv_ego[0])
+        left_ey = np.zeros((n_br, N + 1))
+        left_gate = np.zeros((n_br, N + 1), bool)
+        right_ey = np.zeros((n_br, N + 1))
+        right_gate = np.zeros((n_br, N + 1), bool)
+        margin = 0.15
+        obs_s_wrapped = np.mod(obs_trajs[:, :, 4], lap_length)
+        for br in range(n_br):
+            if br > 0:
+                i = br - 1  # left neighbor
+                left_ey[br] = obs_trajs[i, :, 5]
+                left_gate[br] = np.abs(s_pred - obs_s_wrapped[i]) <= veh_length + margin
+            if br < num_veh:
+                i = br  # right neighbor
+                right_ey[br] = obs_trajs[i, :, 5]
+                right_gate[br] = np.abs(s_pred - obs_s_wrapped[i]) <= veh_length + margin
+
+        X_all, qp_costs, conv = _solve_branch_batch(
+            jnp.asarray(xcurv_ego),
+            param.A,
+            param.B,
+            track.width,
+            jnp.asarray(veh_width),
+            bezier_samples,
+            jnp.asarray(left_ey[:, :N]),
+            jnp.asarray(left_gate[:, :N]),
+            jnp.asarray(right_ey[:, :N]),
+            jnp.asarray(right_gate[:, :N]),
+            num_horizon=N,
+        )
+        X_all = np.asarray(X_all)  # (n_br, N+1, X_DIM)
+        conv = np.asarray(conv)
+
+        # kinematic fallback for unconverged branches
+        # (overtake_traj_planner.py:365-374)
+        bez_np = np.asarray(bezier_samples)
+        for br in range(n_br):
+            if not conv[br]:
+                stmp = float(xcurv_ego[4]) + 1.1 * np.arange(N + 1) * 0.1 * float(xcurv_ego[0])
+                X_all[br] = 0.0
+                X_all[br, :, 0] = 1.1 * float(xcurv_ego[0])
+                X_all[br, :, 4] = stmp
+                sclip = np.clip(stmp, bez_np[br, 0, 0], bez_np[br, -1, 0])
+                X_all[br, :, 5] = np.interp(sclip, bez_np[br, :, 0], bez_np[br, :, 1])
+
+        # branch selection (overtake_traj_planner.py:205-244)
+        cost_sel = -10.0 * (X_all[:, -1, 4] - X_all[:, 0, 4])
+        for br in range(n_br):
+            for side_i in ([br - 1] if br > 0 else []) + ([br] if br < num_veh else []):
+                diffs = X_all[br, :, 4] - obs_s_wrapped[side_i]
+                diffey = X_all[br, :, 5] - obs_trajs[side_i, :, 5]
+                viol = diffs**2 + diffey**2 - veh_length**2 - veh_width**2 < 0
+                cost_sel[br] += 100.0 * viol.sum()
+            if old_direction_flag is not None and old_direction_flag != br:
+                cost_sel[br] += 100.0
+        direction_flag = int(np.argmin(cost_sel))
+        target_traj_xcurv = X_all[direction_flag]
+
+        # global-frame artifacts
+        def to_glob(traj):
+            out = np.zeros_like(traj)
+            out[:, :4] = traj[:, :4]
+            s = jnp.asarray(np.mod(traj[:, 4], lap_length))
+            xy = track_ops.frenet_to_global_xy_batch(track, s, jnp.asarray(traj[:, 5]))
+            out[:, 4:6] = np.asarray(xy)
+            return out
+
+        target_traj_xglob = to_glob(target_traj_xcurv)
+        bezier_line = np.zeros((N + 1, X_DIM))
+        bezier_line[:, 4:6] = bez_np[direction_flag]
+        bezier_xglob = to_glob(bezier_line)
+        all_bezier_xglob = np.zeros((n_br, N + 1, X_DIM))
+        all_traj_xglob = np.zeros((n_br, N + 1, X_DIM))
+        for br in range(n_br):
+            line = np.zeros((N + 1, X_DIM))
+            line[:, 4:6] = bez_np[br]
+            all_bezier_xglob[br] = to_glob(line)
+            all_traj_xglob[br] = to_glob(X_all[br])
+
+        solve_time = np.zeros(n_br)  # per-branch wall time has no meaning in
+        # a single fused batch; kept for API parity
+        return (
+            target_traj_xcurv,
+            target_traj_xglob,
+            direction_flag,
+            sorted_vehicles,
+            bezier_xglob,
+            solve_time,
+            all_bezier_xglob,
+            all_traj_xglob,
+        )
+
+
+# ---------------------------------------------------------------------------
+# path planner (overtake_path_planner.py)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_horizon",))
+def _solve_path_batch(
+    ey0: jax.Array,  # () ego current ey
+    eyN: jax.Array,  # (n_br,) terminal ey per corridor (bezier cp3)
+    ey_opt_ref: jax.Array,  # (N+1,) optimal-raceline ey at stage s
+    ey_bez_ref: jax.Array,  # (n_br, N+1) corridor bezier ey at stage s
+    upper: jax.Array,  # (n_br, N+1) per-stage upper bound on ey
+    lower: jax.Array,  # (n_br, N+1)
+    alpha: jax.Array,
+    track_width: jax.Array,
+    num_horizon: int = 10,
+):
+    """All corridor ey-profile QPs at once (overtake_path_planner.py:199-318).
+    Decision variable per branch: the (N+1,) ey profile."""
+    N = num_horizon
+    dtype = ey_opt_ref.dtype
+    n = N + 1
+
+    def branch(eyN_b, bez_ref, ub, lb):
+        H = 2 * (1 - alpha) * jnp.eye(n, dtype=dtype) + 2 * alpha * jnp.eye(n, dtype=dtype)
+        D = (jnp.eye(n, dtype=dtype) - jnp.eye(n, k=-1, dtype=dtype))[1:]
+        H = H + 2 * 100.0 * D.T @ D
+        g = -2 * (1 - alpha) * ey_opt_ref - 2 * alpha * bez_ref
+        E = jnp.zeros((2, n), dtype).at[0, 0].set(1.0).at[1, n - 1].set(1.0)
+        e = jnp.stack([ey0, eyN_b])
+        I = jnp.eye(n, dtype=dtype)
+        C = jnp.concatenate([I, -I], axis=0)
+        d = jnp.concatenate([lb, -ub])
+        qp = ipm.QP(H=H, g=g, C=C, d=d, E=E, e=e)
+        z0 = jnp.clip(bez_ref, lb + 1e-3, ub - 1e-3)
+        sol = ipm.solve_qp(qp, z0, iters=30)
+        cost = 0.5 * sol.z @ H @ sol.z + g @ sol.z
+        return sol.z, cost, sol.converged
+
+    return jax.vmap(branch)(eyN, ey_bez_ref, upper, lower)
+
+
+class OvertakePathPlanner:
+    """Path-based overtake planner (overtake_path_planner.py:14-318)."""
+
+    def __init__(self, racing_game_param):
+        self.racing_game_param = racing_game_param
+        self.vehicles = None
+        self.agent_name = None
+        self.track = None
+        self.opti_traj_xcurv = None
+        self.timestep = 0.1
+
+    get_overtake_flag = OvertakeTrajPlanner.get_overtake_flag
+
+    def get_local_path(self, xcurv_ego, time, vehicles_interest):
+        track = self.track
+        param = self.racing_game_param
+        N = param.num_horizon_planner
+        lap_length = float(track.lap_length)
+        vehicles = self.vehicles
+        ego = vehicles[self.agent_name]
+        veh_length = float(ego.param.length)
+        veh_width = float(ego.param.width)
+        safety_factor = float(param.safety_factor)
+        opt = np.asarray(self.opti_traj_xcurv)
+
+        names = list(vehicles_interest)
+        sorted_vehicles = sorted(names, key=lambda n: -float(vehicles_interest[n].xcurv[5]))
+        num_veh = len(sorted_vehicles)
+        obs_infos = np.zeros((num_veh, 3))
+        for i, name in enumerate(sorted_vehicles):
+            xc, _ = vehicles[name].get_trajectory_nsteps(time, self.timestep, N + 1)
+            obs_infos[i] = (float(vehicles[name].xcurv[4]), xc[5, :].max(), xc[5, :].min())
+
+        ego_vx = float(ego.xcurv[0])
+        delta_vs = [abs(ego_vx - float(vehicles[n].xcurv[0])) for n in sorted_vehicles]
+        curv_dists = [
+            float(vehicles[n].xcurv[4]) + (lap_length if float(vehicles[n].xcurv[4]) <= 20 else 0)
+            for n in sorted_vehicles
+        ]
+        max_delta_v = max(delta_vs)
+        max_s = max(curv_dists) % lap_length
+
+        cp = bezier.corridor_control_points(
+            num_veh,
+            jnp.asarray(xcurv_ego),
+            jnp.asarray(obs_infos),
+            jnp.asarray(max_delta_v),
+            jnp.asarray(lap_length),
+            track.width,
+            jnp.asarray(veh_width),
+            jnp.asarray(self.opti_traj_xcurv),
+            param.planning_prediction_factor,
+        )
+        bez_np = np.asarray(bezier.sample_corridors(cp, N + 1))
+        n_br = num_veh + 1
+
+        # per-stage reference s (overtake_path_planner.py:229-245)
+        s_end = (
+            max_s
+            + safety_factor * veh_length
+            + float(param.planning_prediction_factor) * max_delta_v
+        )
+        s_stage = float(xcurv_ego[4]) + (s_end - float(xcurv_ego[4])) * np.arange(N + 1) / N
+        s_stage_w = np.mod(s_stage, lap_length)
+        s_stage_w = np.maximum(s_stage_w, opt[0, 4])
+        s_stage_c = np.clip(s_stage_w, bez_np[0, 0, 0], bez_np[0, -1, 0])
+        ey_opt_ref = np.interp(s_stage_c, opt[:, 4], opt[:, 5])
+        ey_bez_ref = np.stack(
+            [np.interp(s_stage_c, bez_np[br, :, 0], bez_np[br, :, 1]) for br in range(n_br)]
+        )
+
+        # corridor bounds from agent ranges (overtake_path_planner.py:266-299)
+        front = obs_infos[:, 0] + safety_factor * veh_length
+        rear = obs_infos[:, 0] - safety_factor * veh_length
+        front = np.mod(front, lap_length)
+        rear = np.mod(rear, lap_length)
+        w = float(track.width)
+        upper = np.full((n_br, N + 1), w)
+        lower = np.full((n_br, N + 1), -w)
+        for br in range(n_br):
+            for k in range(N + 1):
+                s_k = s_stage_c[k]
+                if br > 0:  # left neighbor caps ey from above
+                    i = br - 1
+                    in_range = rear[i] <= s_k <= front[i]
+                    skip0 = k == 0 and float(xcurv_ego[5]) >= obs_infos[i, 2] - safety_factor * veh_width
+                    if in_range and not skip0:
+                        upper[br, k] = min(upper[br, k], obs_infos[i, 2] - safety_factor * veh_width)
+                if br < num_veh:  # right neighbor bounds ey from below
+                    i = br
+                    in_range = rear[i] <= s_k <= front[i]
+                    skip0 = k == 0 and float(xcurv_ego[5]) <= obs_infos[i, 1] + safety_factor * veh_width
+                    if in_range and not skip0:
+                        lower[br, k] = max(lower[br, k], obs_infos[i, 1] + safety_factor * veh_width)
+
+        sol_ey, costs, conv = _solve_path_batch(
+            jnp.asarray(float(xcurv_ego[5])),
+            jnp.asarray(np.asarray(cp)[:, 3, 1]),
+            jnp.asarray(ey_opt_ref),
+            jnp.asarray(ey_bez_ref),
+            jnp.asarray(upper),
+            jnp.asarray(lower),
+            param.alpha,
+            track.width,
+            num_horizon=N,
+        )
+        costs = np.where(np.asarray(conv), np.asarray(costs), np.inf)
+        direction_flag = int(np.argmin(costs))
+        best_ey = np.asarray(sol_ey[direction_flag])
+
+        # assemble target trajectory + speed profile
+        # (overtake_path_planner.py:113-143,173-182)
+        target = np.zeros((N + 1, X_DIM))
+        target[:, 4] = s_stage
+        target[:, 5] = best_ey
+        f_vx = lambda s: np.interp(max(s, opt[0, 4]), opt[:, 4], opt[:, 0])
+        s_last = target[-1, 4] - (lap_length if target[-1, 4] >= lap_length else 0)
+        vx_target = f_vx(s_last)
+        delta_t = 2 * (target[-1, 4] - float(xcurv_ego[4])) / (vx_target + ego_vx)
+        a_target = np.clip((vx_target - ego_vx) / delta_t, -1.5, 1.5)
+        target[0, :] = np.asarray(xcurv_ego)
+        for k in range(N):
+            gain = ego_vx**2 + 2 * a_target * (target[k, 4] - float(xcurv_ego[4]))
+            target[k, 0] = np.sqrt(max(gain, 0.0))
+
+        def to_glob(traj):
+            out = np.zeros_like(traj)
+            out[:, :4] = traj[:, :4]
+            s = jnp.asarray(np.mod(traj[:, 4], lap_length))
+            xy = track_ops.frenet_to_global_xy_batch(track, s, jnp.asarray(traj[:, 5]))
+            out[:, 4:6] = np.asarray(xy)
+            return out
+
+        target_xglob = to_glob(target)
+        bezier_line = np.zeros((N + 1, X_DIM))
+        bezier_line[:, 4:6] = bez_np[direction_flag]
+        bezier_xglob = to_glob(bezier_line)
+        all_bezier_xglob = np.zeros((n_br, N + 1, X_DIM))
+        for br in range(n_br):
+            line = np.zeros((N + 1, X_DIM))
+            line[:, 4:6] = bez_np[br]
+            all_bezier_xglob[br] = to_glob(line)
+        all_traj_xglob = np.zeros((n_br, N + 1, X_DIM))
+
+        return (
+            target,
+            target_xglob,
+            direction_flag,
+            sorted_vehicles,
+            bezier_xglob,
+            np.zeros(n_br),
+            all_bezier_xglob,
+            all_traj_xglob,
+        )

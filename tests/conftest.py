@@ -1,0 +1,35 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4's implication: the reference has no multi-node tests;
+we test pod behavior without a pod by forcing the host platform to expose 8
+virtual devices.  float64 is enabled so numeric parity tests can compare
+against high-precision references.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # ambient env points at TPU ('axon')
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon plugin ignores JAX_PLATFORMS; the config knob wins
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def repo_root():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(autouse=True)
+def _chdir_repo_root(monkeypatch, repo_root):
+    """Data paths are repo-root relative (like the reference's cwd-relative
+    CSV loads, base.py:124-125)."""
+    monkeypatch.chdir(repo_root)

@@ -1,0 +1,146 @@
+"""Solver-core tests: KKT residuals and parity with scipy reference solves.
+
+These are the 'IPOPT-gap' checks from SURVEY §4/§6: the interior-point core
+must match an independent high-accuracy solver within tight tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from car_racing_tpu.ops import ipm
+
+
+def random_qp(key, n=12, m=20, p=3):
+    rng = np.random.default_rng(key)
+    L = rng.normal(size=(n, n))
+    H = L @ L.T + n * np.eye(n)
+    g = rng.normal(size=n)
+    x_feas = rng.normal(size=n)  # one point strictly feasible for everything
+    C = rng.normal(size=(m, n))
+    d = C @ x_feas - rng.uniform(0.1, 1.0, size=m)
+    E = rng.normal(size=(p, n))
+    e = E @ x_feas
+    qp = ipm.QP(
+        H=jnp.asarray(H),
+        g=jnp.asarray(g),
+        C=jnp.asarray(C),
+        d=jnp.asarray(d),
+        E=jnp.asarray(E),
+        e=jnp.asarray(e),
+    )
+    return qp, x_feas
+
+
+def scipy_qp_solution(qp, x_feas):
+    H, g = np.asarray(qp.H), np.asarray(qp.g)
+    C, d = np.asarray(qp.C), np.asarray(qp.d)
+    E, e = np.asarray(qp.E), np.asarray(qp.e)
+    cons = [scipy.optimize.LinearConstraint(C, d, np.inf)]
+    if E.shape[0]:
+        cons.append(scipy.optimize.LinearConstraint(E, e, e))
+    res = scipy.optimize.minimize(
+        lambda z: 0.5 * z @ H @ z + g @ z,
+        x_feas,
+        jac=lambda z: H @ z + g,
+        hess=lambda z: H,
+        constraints=cons,
+        method="trust-constr",
+        options=dict(maxiter=2000, gtol=1e-12, xtol=1e-14),
+    )
+    assert res.success or res.status in (1, 2), res.message
+    return res.x
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_qp_matches_scipy(seed):
+    qp, x_feas = random_qp(seed)
+    sol = ipm.solve_qp(qp, jnp.zeros(qp.H.shape[0]), iters=40)
+    z_ref = scipy_qp_solution(qp, x_feas)
+    assert bool(sol.converged), float(sol.kkt_res)
+    obj = lambda z: 0.5 * z @ np.asarray(qp.H) @ z + np.asarray(qp.g) @ z
+    # optimality gap within IPOPT-like tolerance
+    assert obj(np.asarray(sol.z)) <= obj(z_ref) + 1e-6
+    np.testing.assert_allclose(np.asarray(sol.z), z_ref, atol=1e-5)
+    # feasibility
+    assert np.min(np.asarray(qp.C) @ np.asarray(sol.z) - np.asarray(qp.d)) > -1e-8
+    np.testing.assert_allclose(
+        np.asarray(qp.E) @ np.asarray(sol.z), np.asarray(qp.e), atol=1e-8
+    )
+
+
+def test_qp_no_equalities():
+    rng = np.random.default_rng(42)
+    n = 8
+    H = jnp.eye(n) * 2.0
+    g = jnp.asarray(rng.normal(size=n))
+    C = jnp.eye(n)
+    d = jnp.full(n, -0.3)  # z >= -0.3
+    qp = ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n)), e=jnp.zeros(0))
+    sol = ipm.solve_qp(qp, jnp.zeros(n), iters=30)
+    # analytic: z = clip(-g/2, -0.3, inf)
+    z_ref = np.maximum(-np.asarray(g) / 2.0, -0.3)
+    np.testing.assert_allclose(np.asarray(sol.z), z_ref, atol=1e-6)
+
+
+def test_qp_vmap_batch():
+    pairs = [random_qp(s, p=0) for s in range(8)]
+    qps = [q for q, _ in pairs]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    z0 = jnp.zeros((8, qps[0].H.shape[0]))
+    sols = jax.vmap(lambda q, z: ipm.solve_qp(q, z, iters=40))(batch, z0)
+    for i, (qp, x_feas) in enumerate(pairs):
+        z_ref = scipy_qp_solution(qp, x_feas)
+        np.testing.assert_allclose(np.asarray(sols.z[i]), z_ref, atol=1e-5)
+
+
+def test_nlp_nonlinear_constraint():
+    """min (x-2)^2 + (y-1)^2  s.t.  x^2 + y^2 <= 1  -> solution on circle."""
+
+    def f(z):
+        return (z[0] - 2.0) ** 2 + (z[1] - 1.0) ** 2
+
+    def c(z):
+        return jnp.array([1.0 - z[0] ** 2 - z[1] ** 2])
+
+    sol = ipm.solve(f, c, jnp.zeros(2), iters=50)
+    z_ref = np.array([2.0, 1.0]) / np.sqrt(5.0)
+    np.testing.assert_allclose(np.asarray(sol.z), z_ref, atol=1e-6)
+    assert bool(sol.converged)
+
+
+def test_nlp_with_equality():
+    """min x^2 + y^2 s.t. x + y = 1, x >= 0.3 -> (0.5, 0.5) inactive ineq."""
+
+    def f(z):
+        return z[0] ** 2 + z[1] ** 2
+
+    def ci(z):
+        return jnp.array([z[0] - 0.3])
+
+    def ce(z):
+        return jnp.array([z[0] + z[1] - 1.0])
+
+    sol = ipm.solve(f, ci, jnp.asarray([0.6, 0.6]), c_eq=ce, iters=50)
+    np.testing.assert_allclose(np.asarray(sol.z), [0.5, 0.5], atol=1e-6)
+
+
+def test_nlp_degree6_barrier():
+    """CBF-shaped degree-6 constraints (the mpccbf problem's hard part)."""
+    c = lambda z: jnp.array([(z[0] / 0.6) ** 6 + (z[1] / 0.3) ** 6 - 1.0])
+
+    # active case: target inside the superellipse -> boundary point (0.6, 0)
+    f_in = lambda z: jnp.sum((z - jnp.asarray([0.1, 0.0])) ** 2)
+    sol = ipm.solve(f_in, c, jnp.asarray([2.0, 0.5]), iters=40)
+    z = np.asarray(sol.z)
+    assert bool(sol.converged), float(sol.kkt_res)
+    assert (z[0] / 0.6) ** 6 + (z[1] / 0.3) ** 6 >= 1.0 - 1e-6
+    assert z[0] == pytest.approx(0.6, abs=1e-4)
+    assert abs(z[1]) < 1e-3
+
+    # inactive case: target outside -> unconstrained optimum (1, 0)
+    f_out = lambda z: jnp.sum((z - jnp.asarray([1.0, 0.0])) ** 2)
+    sol = ipm.solve(f_out, c, jnp.asarray([2.0, 0.5]), iters=40)
+    np.testing.assert_allclose(np.asarray(sol.z), [1.0, 0.0], atol=1e-5)
