@@ -285,7 +285,7 @@ class OvertakeTrajPlanner:
             jnp.asarray(right_gate[:, :N]),
             num_horizon=N,
         )
-        X_all = np.asarray(X_all)  # (n_br, N+1, X_DIM)
+        X_all = np.array(X_all)  # (n_br, N+1, X_DIM) — writable copy
         conv = np.asarray(conv)
 
         # kinematic fallback for unconverged branches

@@ -1,0 +1,144 @@
+"""Full racing-game pipeline test: multi-lap LMPC learning + overtaking
+(reference tests/auto_racing_game_test.py:11-115), with numeric assertions:
+lap times must improve with learning, and the overtake lap must complete
+without collision.
+"""
+
+import numpy as np
+import pytest
+
+from car_racing_tpu.ops import track as track_ops
+from car_racing_tpu.racing import policies, simulator, vehicles
+from car_racing_tpu.utils import params
+from car_racing_tpu.utils.constants import X_DIM
+
+TIMESTEP = 0.1
+LAP_NUMBER = 4
+
+
+@pytest.fixture(scope="module")
+def game_result():
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    opti_traj_xcurv = np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=",")
+    opti_traj_xglob = np.genfromtxt("data/optimal_traj/xglob_l_shape.csv", delimiter=",")
+
+    ego = vehicles.DynamicBicycleModel(name="ego", system_param=params.SystemParam.default())
+    ego.set_timestep(TIMESTEP)
+    ego.set_zero_noise()
+    ego.set_state_curvilinear(np.zeros(X_DIM))
+    ego.set_state_global(np.zeros(X_DIM))
+    ego.start_logging()
+
+    pid = policies.PIDTracking(vt=0.7)
+    pid.set_timestep(TIMESTEP)
+    pid.set_track(track)
+    ego.set_ctrl_policy(pid)
+
+    mpc = policies.MPCTracking(params.MPCParam.default(vt=0.7), params.SystemParam.default())
+    mpc.set_timestep(TIMESTEP)
+    mpc.set_track(track)
+
+    time_lmpc = 10000 * TIMESTEP
+    lmpc = policies.LMPCRacingGame(
+        params.LMPCParam.default(),
+        racing_game_param=params.RacingGameParam.default(alpha=0.8),
+        system_param=params.SystemParam.default(),
+        timestep=TIMESTEP,
+        lap_number=LAP_NUMBER,
+        time_lmpc=time_lmpc,
+    )
+    lmpc.set_track(track)
+    lmpc.set_timestep(TIMESTEP)
+    lmpc.set_opti_traj(opti_traj_xcurv, opti_traj_xglob)
+    lmpc.openloop_prediction = policies.LMPCPrediction(lap_number=LAP_NUMBER)
+
+    sim = simulator.CarRacingSim()
+    sim.set_timestep(TIMESTEP)
+    sim.set_track(track)
+    sim.add_vehicle(ego)
+    sim.set_opti_traj(opti_traj_xglob)
+    pid.set_racing_sim(sim)
+    mpc.set_racing_sim(sim)
+    lmpc.set_racing_sim(sim)
+    lmpc.set_vehicles_track()
+
+    cars = []
+    for i in range(2):
+        car = vehicles.NoDynamicsModel(name=f"car{i+1}")
+        car.set_track(track)
+        cars.append(car)
+
+    for it in range(LAP_NUMBER):
+        if it == 0:
+            sim.sim(sim_time=90, one_lap=True, one_lap_name="ego")
+        elif it == 1:
+            ego.set_ctrl_policy(mpc)
+            sim.sim(sim_time=90, one_lap=True, one_lap_name="ego")
+        elif it == 2:
+            lmpc.add_trajectory(ego, 0)
+            lmpc.add_trajectory(ego, 1)
+            ego.set_ctrl_policy(lmpc)
+            sim.sim(sim_time=time_lmpc, one_lap=True, one_lap_name="ego")
+            ego.ctrl_policy.add_trajectory(ego, 2)
+        else:
+            # final lap: two prescribed cars appear; overtaking kicks in
+            for i, car in enumerate(cars):
+                car.set_state_curvilinear_func(
+                    [0.7 + i * 0.02, 5.5 + i * 2.0], [0.0, -0.5 + i * 0.3]
+                )
+                car.start_logging()
+                sim.add_vehicle(car)
+            ego.solver_time = []
+            ego.all_local_trajs = []
+            ego.all_splines = []
+            sim.sim(sim_time=time_lmpc, one_lap=True, one_lap_name="ego")
+            ego.ctrl_policy.add_trajectory(ego, it)
+    return sim, track, lmpc, ego
+
+
+def test_laps_completed(game_result):
+    sim, track, lmpc, ego = game_result
+    assert lmpc.iter == LAP_NUMBER
+    assert ego.laps >= LAP_NUMBER
+
+
+def test_lap_times_improve_with_learning(game_result):
+    """LMPC's raison d'etre: learned laps are faster than the PID lap."""
+    sim, track, lmpc, ego = game_result
+    lap_times = [lmpc.Qfun[0, i] * TIMESTEP for i in range(lmpc.iter)]
+    # the first LMPC lap (iter 2) should beat the PID lap (iter 0)
+    assert lap_times[2] < lap_times[0], lap_times
+    # and stay on track throughout
+    traj = sim.full_trajectory("ego")
+    assert np.abs(traj[:, 5]).max() < 1.0
+
+
+def test_overtake_lap_no_collision(game_result):
+    sim, track, lmpc, ego = game_result
+    L = float(track.lap_length)
+    # the overtake lap's flat log (cars were added at lap 3 start)
+    n_lap3 = len(ego.lap_xcurvs) + len(ego.xcurvs[-1]) if ego.laps >= 4 else 0
+    ego_traj = np.asarray(ego.xcurv_log)
+    t = np.arange(len(ego_traj)) * TIMESTEP
+    # cars started when lap 3 began; their prescribed funcs use sim time from
+    # their own clocks, which started at lap-3 start
+    lap3_start_idx = len(ego_traj) - len(np.asarray(ego.xcurvs[-1])) if ego.laps >= 4 else 0
+    length, width = 0.4, 0.2
+    ego_lap3 = ego_traj[lap3_start_idx:]
+    t3 = np.arange(len(ego_lap3)) * TIMESTEP
+    for i in range(2):
+        s_obs = np.polyval([0.7 + i * 0.02, 5.5 + i * 2.0], t3)
+        ey_obs = np.polyval([0.0, -0.5 + i * 0.3], t3)
+        ds = np.abs(np.mod(ego_lap3[:, 4] - s_obs + L / 2, L) - L / 2)
+        dey = np.abs(ego_lap3[:, 5] - ey_obs)
+        overlap = (ds < 0.9 * length) & (dey < 0.9 * width)
+        assert not overlap.any(), f"collision with car{i+1} at t={t3[overlap][0] if overlap.any() else None}"
+
+
+def test_planner_artifacts_recorded(game_result):
+    """During overtakes the planner must log trajectories/splines; during
+    plain LMPC steps the rows are None (reference artifact protocol)."""
+    sim, track, lmpc, ego = game_result
+    any_overtake = any(x is not None for x in ego.local_trajs)
+    assert any_overtake, "no overtake was ever triggered on the traffic lap"
