@@ -70,8 +70,7 @@ def lqr(xcurv: jax.Array, xtarget: jax.Array, param: LQRParam) -> jax.Array:
 def _tracking_qp(param, sys_param: SystemParam, track_width, x0, xtarget, extra_cost=None):
     """Condensed QP shared by MPC-LTI (and the CBF problem's convex part)."""
     N = param.num_horizon
-    A_seq, B_seq, C_seq = ocp.lti_sequences(param.A, param.B, N)
-    phi, G = ocp.condense(A_seq, B_seq, C_seq, x0)
+    phi, G = ocp.condense_lti(param.A, param.B, N, x0)
     x_targets = jnp.broadcast_to(xtarget, (N, X_DIM))
     H, g = ocp.quadratic_tracking_cost(phi, G, param.Q, param.R, x_targets, N)
     n_z = N * U_DIM
@@ -253,8 +252,7 @@ def _cbf_nlp(
     dtype = xcurv.dtype
     degree = 6
 
-    A_seq, B_seq, C_seq = ocp.lti_sequences(A, B, N)
-    phi, G = ocp.condense(A_seq, B_seq, C_seq, xcurv)
+    phi, G = ocp.condense_lti(A, B, N, xcurv)
 
     n_u = N * U_DIM
     n_z = n_u + n_obs * (N + 1)

@@ -84,7 +84,7 @@ def solve(
     c_eq: Callable | None = None,
     *,
     iters: int = 40,
-    tol: float = 1e-7,
+    tol: float | None = None,
     mu0: float = 1e-1,
     sigma: float = 0.2,
     tau: float = 0.995,
@@ -105,6 +105,8 @@ def solve(
     m = jax.eval_shape(c_ineq, z0).shape[0]
     p = jax.eval_shape(c_eq, z0).shape[0]
     dtype = z0.dtype
+    if tol is None:
+        tol = 1e-7 if dtype == jnp.float64 else 1e-3
 
     grad_f = jax.grad(f)
     jac_i = jax.jacfwd(c_ineq)
@@ -248,7 +250,7 @@ jax.tree_util.register_dataclass(QP)
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float = 1e-8) -> IPMSolution:
+def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None) -> IPMSolution:
     """Specialized primal-dual IPM for dense convex QPs.
 
     Identical algorithm to :func:`solve` but with the derivatives inlined as
@@ -260,6 +262,8 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float = 1e-8) -> IP
     m = C.shape[0]
     p = E.shape[0]
     dtype = H.dtype
+    if tol is None:
+        tol = 1e-8 if dtype == jnp.float64 else 1e-3
 
     s = jnp.maximum(C @ z0 - d, 1e-2)
     lam = jnp.full((m,), 0.1, dtype) / s
@@ -321,4 +325,112 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float = 1e-8) -> IP
         converged=res < jnp.asarray(tol * 1e3, dtype),
         kkt_res=res,
         iterations=jnp.where(done_iter < 0, iters, done_iter),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched QP solver over leading batch dims, with the Pallas lane-major
+# Cholesky kernel for the Newton systems (ops/pallas_kernels.py).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None) -> IPMSolution:
+    """Batched :func:`solve_qp`: every QP field carries a leading batch dim.
+
+    The same primal-dual iteration, written with batched contractions; the
+    per-iteration Newton systems for the whole batch go through one
+    lane-major batched Cholesky (Pallas on TPU, jnp.linalg elsewhere) —
+    this is the hot path of branch sweeps (hundreds of tiny QPs per step).
+    Equality constraints are handled by block elimination: with
+    W = Hbar^-1 [g_bar, E^T], the p x p Schur system gives dnu, then dz.
+    """
+    from . import pallas_kernels
+
+    H, g, C, d, E, e = qp.H, qp.g, qp.C, qp.d, qp.E, qp.e
+    B, n, _ = H.shape
+    m = C.shape[1]
+    p = E.shape[1]
+    dtype = H.dtype
+    if tol is None:
+        # dtype-aware: float32 cannot reach the f64 KKT tolerance
+        tol = 1e-8 if dtype == jnp.float64 else 1e-3
+    tau = 0.995
+
+    bmm = lambda M, v: jnp.einsum("bij,bj->bi", M, v)
+    bmT = lambda M, v: jnp.einsum("bij,bi->bj", M, v)
+
+    s = jnp.maximum(bmm(C, z0) - d, 1e-2)
+    lam = jnp.full((B, m), 0.1, dtype) / s
+    nu = jnp.zeros((B, p), dtype)
+    mu = jnp.full((B,), 1e-1, dtype)
+
+    def kkt_res(z, s, lam, nu):
+        ci = bmm(C, z) - d
+        gL = bmm(H, z) + g - bmT(C, lam) + (bmT(E, nu) if p else 0.0)
+        parts = [jnp.abs(gL), jnp.abs(ci - s), jnp.abs(s * lam)]
+        if p:
+            parts.append(jnp.abs(bmm(E, z) - e))
+        return jnp.max(jnp.concatenate(parts, axis=1), axis=1)
+
+    def step(carry, _):
+        z, s, lam, nu, mu, done = carry
+        ci = bmm(C, z) - d
+        gL = bmm(H, z) + g - bmT(C, lam) + (bmT(E, nu) if p else 0.0)
+        res = kkt_res(z, s, lam, nu)
+        done = done | (res < tol)
+
+        sl = lam / jnp.maximum(s, 1e-12)
+        r_bar = (mu[:, None] - s * lam) / jnp.maximum(s, 1e-12) - sl * (ci - s)
+        Hbar = H + jnp.einsum("bki,bk,bkj->bij", C, sl, C)
+        Hbar = Hbar + 1e-9 * jnp.eye(n, dtype=dtype)
+        g_bar = -gL + bmT(C, r_bar)
+
+        if p:
+            rhs = jnp.concatenate(
+                [g_bar[:, :, None], jnp.transpose(E, (0, 2, 1))], axis=2
+            )  # (B, n, 1+p)
+            W = pallas_kernels.solve_multi_batched(Hbar, rhs)
+            W_g = W[:, :, 0]
+            W_E = W[:, :, 1:]  # (B, n, p)
+            ce = bmm(E, z) - e
+            S = jnp.einsum("bpi,bik->bpk", E, W_E) + 1e-10 * jnp.eye(p, dtype=dtype)
+            rhs_nu = bmm(E, W_g) + ce
+            dnu = jnp.linalg.solve(S, rhs_nu[..., None])[..., 0]
+            dz = W_g - jnp.einsum("bip,bp->bi", W_E, dnu)
+        else:
+            dz = pallas_kernels.solve_batched(Hbar, g_bar)
+            dnu = nu
+
+        ds = bmm(C, dz) + (ci - s)
+        dlam = r_bar - sl * bmm(C, dz)
+
+        neg = lambda dv, v: jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), jnp.inf)
+        a_s = jnp.minimum(1.0, jnp.min(neg(ds, s), axis=1))
+        a_l = jnp.minimum(1.0, jnp.min(neg(dlam, lam), axis=1))
+
+        upd = (~done)[:, None]
+        z = jnp.where(upd, z + a_s[:, None] * dz, z)
+        s = jnp.where(upd, s + a_s[:, None] * ds, s)
+        lam = jnp.where(upd, lam + a_l[:, None] * dlam, lam)
+        if p:
+            nu_new = nu + a_l[:, None] * dnu
+            nu = jnp.where(upd, nu_new, nu)
+        duality = jnp.sum(s * lam, axis=1) / m
+        mu = jnp.where(upd[:, 0], jnp.maximum(0.1 * duality, 1e-14), mu)
+        return (z, s, lam, nu, mu, done), None
+
+    done0 = jnp.zeros((B,), bool)
+    (z, s, lam, nu, mu, done), _ = jax.lax.scan(
+        step, (z0, s, lam, nu, mu, done0), None, length=iters
+    )
+    res = kkt_res(z, s, lam, nu)
+    return IPMSolution(
+        z=z,
+        lam=lam,
+        nu=nu,
+        s=s,
+        converged=res < tol * 1e3,
+        kkt_res=res,
+        iterations=jnp.full((B,), iters, jnp.int32),
     )

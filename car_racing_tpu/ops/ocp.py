@@ -60,6 +60,32 @@ def condense(A_seq, B_seq, C_seq, x0):
     return phi.reshape(N * n), G.reshape(N * n, N * m)
 
 
+def condense_lti(A, B, N: int, x0):
+    """LTI fast path of :func:`condense` — closed form via matrix powers.
+
+    Avoids the scatter-in-scan pattern of the TV path (which compiles
+    pathologically slowly on some TPU toolchains when vmapped): builds
+    P[i] = A^i with one scan, then assembles the block-Toeplitz input map
+    G[k, j] = A^(k-1-j) B by gather + mask.  Returns (phi (N*n), G (N*n, N*m)).
+    """
+    n, m = B.shape
+
+    def body(P, _):
+        return A @ P, P
+
+    _, Ps = jax.lax.scan(body, jnp.eye(n, dtype=A.dtype), None, length=N + 1)
+    # Ps[i] = A^i, i = 0..N
+    phi = jnp.einsum("kij,j->ki", Ps[1:], x0)  # x_k = A^k x0, k=1..N
+
+    k_idx = jnp.arange(N)[:, None]  # block row (x_{k+1})
+    j_idx = jnp.arange(N)[None, :]  # input index
+    pow_idx = k_idx - j_idx  # A^(k-j) B at block (k, j) for k >= j
+    blocks = jnp.einsum("kjab,bc->kjac", Ps[jnp.clip(pow_idx, 0, N)], B)
+    blocks = jnp.where((pow_idx >= 0)[:, :, None, None], blocks, 0.0)
+    G = jnp.transpose(blocks, (0, 2, 1, 3)).reshape(N * n, N * m)
+    return phi.reshape(N * n), G
+
+
 def lti_sequences(A, B, N, dtype=None):
     """Tile an LTI (A, B) into TV sequences with zero drift."""
     dtype = dtype or A.dtype

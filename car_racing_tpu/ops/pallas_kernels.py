@@ -121,3 +121,89 @@ def solve_batched(A: jax.Array, b: jax.Array) -> jax.Array:
     if jax.default_backend() == "tpu":
         return cholesky_solve_batched(A, b)
     return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+def _cholesky_solve_multi_kernel(a_ref, b_ref, x_ref):
+    """Multi-RHS variant: factor once, substitute r times.
+
+    a_ref: (n, n, B); b_ref: (r, n, B); x_ref: (r, n, B).
+    """
+    n = a_ref.shape[0]
+    r = b_ref.shape[0]
+    a_work = a_ref[:]
+    l_cols = []
+    for j in range(n):
+        diag = jnp.maximum(a_work[j, j], 1e-30)
+        inv_sqrt = jax.lax.rsqrt(diag)
+        col = a_work[:, j] * inv_sqrt[None, :]
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j).astype(col.dtype)
+        col = col * mask
+        l_cols.append(col)
+        a_work = a_work - col[:, None, :] * col[None, :, :]
+    for rr in range(r):
+        b = b_ref[rr]
+        y_rows = []
+        for i in range(n):
+            acc = b[i]
+            for j in range(i):
+                acc = acc - l_cols[j][i] * y_rows[j]
+            y_rows.append(acc / jnp.maximum(l_cols[i][i], 1e-30))
+        x_rows: list = [None] * n
+        for i in range(n - 1, -1, -1):
+            acc = y_rows[i]
+            for j in range(i + 1, n):
+                acc = acc - l_cols[i][j] * x_rows[j]
+            x_rows[i] = acc / jnp.maximum(l_cols[i][i], 1e-30)
+        x_ref[rr] = jnp.stack(x_rows, axis=0)
+
+
+def _cholesky_solve_multi_block(a_t, b_t, interpret):
+    """a_t: (n, n, blk); b_t: (r, n, blk) -> (r, n, blk)."""
+    n, _, blk = a_t.shape
+    r = b_t.shape[0]
+    return pl.pallas_call(
+        _cholesky_solve_multi_kernel,
+        out_shape=jax.ShapeDtypeStruct((r, n, blk), a_t.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a_t, b_t)
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_b"))
+def cholesky_solve_multi_batched(
+    A: jax.Array, Brhs: jax.Array, interpret: bool = False, block_b: int = 256
+) -> jax.Array:
+    """Multi-RHS batched SPD solve: A (B, n, n), Brhs (B, n, r) -> (B, n, r).
+
+    Factors each matrix once in VMEM and substitutes all r right-hand
+    sides (the shape of one block-eliminated KKT step: r = 1 + p)."""
+    B, n, _ = A.shape
+    r = Brhs.shape[2]
+    blk = min(block_b, max(128, B))
+    pad = (-B) % blk
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (pad, n, n))
+        A = jnp.concatenate([A, eye], axis=0)
+        Brhs = jnp.concatenate([Brhs, jnp.zeros((pad, n, r), Brhs.dtype)], axis=0)
+    Bp = B + pad
+    a_t = jnp.transpose(A, (1, 2, 0)).reshape(n, n, Bp // blk, blk)
+    b_t = jnp.transpose(Brhs, (2, 1, 0)).reshape(r, n, Bp // blk, blk)
+    a_chunks = jnp.moveaxis(a_t, 2, 0)  # (nblk, n, n, blk)
+    b_chunks = jnp.moveaxis(b_t, 2, 0)  # (nblk, r, n, blk)
+    x_chunks = jax.lax.map(
+        lambda ab: _cholesky_solve_multi_block(ab[0], ab[1], interpret),
+        (a_chunks, b_chunks),
+    )  # (nblk, r, n, blk)
+    x_t = jnp.moveaxis(x_chunks, 0, 2).reshape(r, n, Bp)
+    return jnp.transpose(x_t, (2, 1, 0))[:B]
+
+
+def solve_multi_batched(A: jax.Array, Brhs: jax.Array) -> jax.Array:
+    """Backend-dispatching multi-RHS batched SPD solve."""
+    if jax.default_backend() == "tpu":
+        return cholesky_solve_multi_batched(A, Brhs)
+    return jnp.linalg.solve(A, Brhs)

@@ -35,9 +35,9 @@ def make_mesh(n_devices: int | None = None):
     return Mesh(np.asarray(devs).reshape(shape), ("scenario", "branch"))
 
 
-def _branch_tracking_qp(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype):
-    """A per-branch condensed QP (progress + reference tracking + bounds) —
-    the compute kernel each mesh shard vmaps over its local branches."""
+def _branch_tracking_qp_build(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype):
+    """Build a per-branch condensed QP (progress + reference tracking +
+    bounds) — the problem each mesh shard batches over its local branches."""
     A_seq, B_seq, C_seq = ocp.lti_sequences(A, B, N)
     phi, G = ocp.condense(A_seq, B_seq, C_seq, x0)
     n_u = N * U_DIM
@@ -58,10 +58,18 @@ def _branch_tracking_qp(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype):
             p_ey - width,
         ]
     )
-    qp = ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
-    sol = ipm.solve_qp(qp, jnp.zeros(n_u, dtype), iters=20)
-    cost = 0.5 * sol.z @ H @ sol.z + g @ sol.z
+    return ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
+
+
+def _branch_tracking_qp(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype):
+    """Single-problem convenience wrapper (oracle for tests)."""
+    qp = _branch_tracking_qp_build(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype)
+    sol = ipm.solve_qp(qp, jnp.zeros(qp.H.shape[0], dtype), iters=20)
+    cost = 0.5 * sol.z @ qp.H @ sol.z + qp.g @ sol.z
     return sol.z, cost
+
+
+_SWEEP_CACHE: dict = {}
 
 
 def branch_sweep(mesh: Mesh, x0_scen: jax.Array, s_refs: jax.Array, ey_refs: jax.Array,
@@ -73,40 +81,115 @@ def branch_sweep(mesh: Mesh, x0_scen: jax.Array, s_refs: jax.Array, ey_refs: jax
     s_refs/ey_refs: (S, BR, N) per-branch references (BR sharded over
     'branch').  Returns (best_idx (S,), best_U (S, N*U_DIM)) — the argmin
     reduction replaces the reference's host-side gather over Manager dicts.
+
+    The compiled sharded program is cached per (mesh, horizon, dtype) so
+    repeated sweeps (every overtake control step) pay zero retrace.
     """
     N = num_horizon
     dtype = x0_scen.dtype
+    cache_key = (mesh, N, jnp.dtype(dtype).name)
+    cached = _SWEEP_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(x0_scen, s_refs, ey_refs, A, B, Q, R, width)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("scenario"), P("scenario", "branch"), P("scenario", "branch")),
+        in_specs=(
+            P("scenario"),
+            P("scenario", "branch"),
+            P("scenario", "branch"),
+            P(),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
         out_specs=(P("scenario"), P("scenario")),
         check_vma=False,  # the QP solver's scan carry mixes varying/invariant
     )
-    def sweep(x0_l, s_ref_l, ey_ref_l):
-        def per_scen(x0, s_ref_b, ey_ref_b):
-            solve = lambda sr, er: _branch_tracking_qp(
-                A, B, N, Q, R, x0, sr, er, width, dtype
+    def sweep(x0_l, s_ref_l, ey_ref_l, A, B, Q, R, width):
+        S_l, BR_l, _ = s_ref_l.shape
+        n_u = N * U_DIM
+        # The condensed matrices (G and everything built from it: H, C, and
+        # the phi-dependent d) are *branch-invariant* — only the linear term
+        # g varies with the per-branch references.  Build the shared parts
+        # once per scenario and broadcast, then run ONE flat batched
+        # interior-point solve (a vmapped pallas_call would re-grid the
+        # kernel; one flat batch avoids it).
+        def scen_parts(x0):
+            phi, G = ocp.condense_lti(A, B, N, x0)
+            sel_s = jnp.arange(N) * X_DIM + 4
+            sel_ey = jnp.arange(N) * X_DIM + 5
+            G_s, p_s = G[sel_s], phi[sel_s]
+            G_ey, p_ey = G[sel_ey], phi[sel_ey]
+            H = 2 * 20.0 * (G_ey.T @ G_ey + G_s.T @ G_s) + 1e-6 * jnp.eye(n_u, dtype=dtype)
+            I_u = jnp.eye(n_u, dtype=dtype)
+            C = jnp.concatenate([I_u, -I_u, G_ey, -G_ey], axis=0)
+            d = jnp.concatenate(
+                [
+                    jnp.tile(jnp.asarray([-0.5, -1.5], dtype), N),
+                    -jnp.tile(jnp.asarray([0.5, 1.5], dtype), N),
+                    -width - p_ey,
+                    p_ey - width,
+                ]
             )
-            zs, costs = jax.vmap(solve)(s_ref_b, ey_ref_b)
+            return H, C, d, G_s, G_ey, p_s, p_ey, G[-X_DIM + 4]
+
+        H_s, C_s, d_s, G_s, G_ey, p_s, p_ey, g_prog = jax.vmap(scen_parts)(x0_l)
+
+        def g_of(sidx):
+            def per_branch(sr, er):
+                g = 2 * 20.0 * (
+                    G_ey[sidx].T @ (p_ey[sidx] - er) + G_s[sidx].T @ (p_s[sidx] - sr)
+                )
+                return g - 200.0 * g_prog[sidx]
+
+            return per_branch
+
+        gs = jnp.stack(
+            [jax.vmap(g_of(s))(s_ref_l[s], ey_ref_l[s]) for s in range(S_l)]
+        )  # (S_l, BR_l, n_u)
+
+        bcast = lambda a: jnp.broadcast_to(a[:, None], (S_l, BR_l) + a.shape[1:])
+        qp_batch = ipm.QP(
+            H=bcast(H_s),
+            g=gs,
+            C=bcast(C_s),
+            d=bcast(d_s),
+            E=jnp.zeros((S_l, BR_l, 0, n_u), dtype),
+            e=jnp.zeros((S_l, BR_l, 0), dtype),
+        )
+        flat = jax.tree.map(lambda a: a.reshape((S_l * BR_l,) + a.shape[2:]), qp_batch)
+        sol = ipm.solve_qp_batch(
+            flat, jnp.zeros((S_l * BR_l, n_u), dtype), iters=20
+        )
+        zs = sol.z.reshape(S_l, BR_l, -1)
+        costs = (
+            0.5 * jnp.einsum("sbi,sbij,sbj->sb", zs, qp_batch.H, zs)
+            + jnp.einsum("sbi,sbi->sb", qp_batch.g, zs)
+        )
+
+        def select(costs_s, zs_s):
             # global best across the branch axis: gather all shard costs
-            all_costs = jax.lax.all_gather(costs, "branch", tiled=False).reshape(-1)
+            all_costs = jax.lax.all_gather(costs_s, "branch", tiled=False).reshape(-1)
             best = jnp.argmin(all_costs)
-            n_local = costs.shape[0]
+            n_local = costs_s.shape[0]
             my_rank = jax.lax.axis_index("branch")
             local_best = best - my_rank * n_local
             has_best = (local_best >= 0) & (local_best < n_local)
             z_best = jnp.where(
-                has_best, zs[jnp.clip(local_best, 0, n_local - 1)], jnp.zeros_like(zs[0])
+                has_best, zs_s[jnp.clip(local_best, 0, n_local - 1)], jnp.zeros_like(zs_s[0])
             )
             # sum across shards: only the owner contributes non-zeros
             z_best = jax.lax.psum(z_best, "branch")
             return best, z_best
 
-        return jax.vmap(per_scen)(x0_l, s_ref_l, ey_ref_l)
+        return jax.vmap(select)(costs, zs)
 
-    return jax.jit(sweep)(x0_scen, s_refs, ey_refs)
+    compiled = jax.jit(sweep)
+    _SWEEP_CACHE[cache_key] = compiled
+    return compiled(x0_scen, s_refs, ey_refs, A, B, Q, R, width)
 
 
 def safe_set_exchange(mesh: Mesh, lap_traj: jax.Array):

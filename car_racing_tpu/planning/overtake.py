@@ -42,6 +42,26 @@ from ..utils.constants import U_DIM, X_DIM
 # ---------------------------------------------------------------------------
 
 
+def get_agent_range(s_agent, ey_agent, epsi_agent, length, width):
+    """Footprint extent of an agent in (s, ey) (planner_helper.py:9-14)."""
+    half_l, half_w = 0.5 * length, 0.5 * width
+    sin_e, cos_e = np.sin(epsi_agent), np.cos(epsi_agent)
+    ey_max = ey_agent + half_l * sin_e + half_w * cos_e
+    ey_min = ey_agent - half_l * sin_e - half_w * cos_e
+    s_max = s_agent + half_l * cos_e + half_w * sin_e
+    s_min = s_agent - half_l * cos_e - half_w * sin_e
+    return ey_max, ey_min, s_max, s_min
+
+
+def ego_agent_overlap_checker(s_ego_min, s_ego_max, s_veh_min, s_veh_max, lap_length):
+    """Longitudinal overlap test with lap wrap (planner_helper.py:17-25)."""
+    return not (
+        (s_ego_max <= s_veh_min or s_ego_min >= s_veh_max)
+        or (s_ego_max <= s_veh_min + lap_length or s_ego_min >= s_veh_max + lap_length)
+        or (s_ego_max + lap_length <= s_veh_min or s_ego_min + lap_length >= s_veh_max)
+    )
+
+
 def check_ego_agent_distance(ego_xcurv, agent_xcurv, ego_length, safety_factor,
                              prediction_factor, lap_length):
     """Proximity trigger with lap-wrap handling (planner_helper.py:218-266)."""
@@ -83,8 +103,7 @@ def _solve_branch_batch(
     dtype = xcurv_ego.dtype
     n_u = N * U_DIM
 
-    A_seq, B_seq, C_seq = ocp.lti_sequences(A, B, N)
-    phi, G = ocp.condense(A_seq, B_seq, C_seq, xcurv_ego)
+    phi, G = ocp.condense_lti(A, B, N, xcurv_ego)
 
     # constant per-stage reference s and its bezier ey per branch
     ks = jnp.arange(N + 1, dtype=dtype)
@@ -146,15 +165,21 @@ def _solve_branch_batch(
 
         C = jnp.concatenate(rows, axis=0)
         d = jnp.concatenate(ds)
-        qp = ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
-        sol = ipm.solve_qp(qp, jnp.zeros(n_u, dtype), iters=30)
-        X = ocp.unpack_states(phi, G, sol.z, xcurv_ego)
-        qp_cost = 0.5 * sol.z @ H @ sol.z + g @ sol.z
-        return X, qp_cost, sol.converged
+        return ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
 
-    return jax.vmap(branch_qp)(
+    # build every corridor's QP, then solve the whole batch through one
+    # batched interior point (Pallas lane-major Cholesky on TPU)
+    qp_batch = jax.vmap(branch_qp)(
         bezier_samples, left_obs_ey, left_gate, right_obs_ey, right_gate
     )
+    n_br = bezier_samples.shape[0]
+    sol = ipm.solve_qp_batch(qp_batch, jnp.zeros((n_br, n_u), dtype), iters=30)
+    X = jax.vmap(lambda z: ocp.unpack_states(phi, G, z, xcurv_ego))(sol.z)
+    qp_cost = (
+        0.5 * jnp.einsum("bi,bij,bj->b", sol.z, qp_batch.H, sol.z)
+        + jnp.einsum("bi,bi->b", qp_batch.g, sol.z)
+    )
+    return X, qp_cost, sol.converged
 
 
 class OvertakeTrajPlanner:
