@@ -198,3 +198,52 @@ class VisualizationNode(Node):
                     self.stale.add(name)
                 else:
                     self.stale.discard(name)
+
+
+class StagedControllerNode(ControllerNode):
+    """Staged lap protocol: PID lap -> MPC-LTI lap -> LMPC
+    (reference realtime/controller.py:111-197).
+
+    Lap completion is detected from the simulator-republished state's s
+    wrapping; on each stage boundary the active policy is swapped.  (The
+    reference's realtime LMPC path calls add_trajectory with an incompatible
+    signature and is effectively unfinished — SURVEY §7; here the staged
+    node swaps PID -> MPC-LTI and records lap logs so a learning stage can
+    attach.)
+    """
+
+    def __init__(self, name: str, track, port: int = 9123, rate_hz: float = 10.0,
+                 vt: float = 0.6):
+        pid = policies.PIDTracking(vt=vt)
+        super().__init__(name, track, policy=pid, port=port, rate_hz=rate_hz)
+        self._track = track
+        self._vt = vt
+        self.stage = 0  # 0 = PID, 1 = MPC-LTI
+        self._last_s = None
+        self.laps_done = 0
+        self.lap_log: list[np.ndarray] = []
+        self.lap_logs: list[list[np.ndarray]] = []
+
+    def tick(self):
+        with self._lock:
+            state = self._state
+        if state is None:
+            return
+        s = float(state[4]) % float(self._track.lap_length)
+        if self._last_s is not None and s < self._last_s - 0.5 * float(self._track.lap_length):
+            # lap completed
+            self.laps_done += 1
+            self.lap_logs.append(self.lap_log)
+            self.lap_log = []
+            if self.laps_done == 1 and self.stage == 0:
+                mpc = policies.MPCTracking(params.MPCParam.default(vt=self._vt))
+                mpc.set_timestep(1.0 / self.rate_hz)
+                mpc.set_track(self._track)
+                mpc.agent_name = self.name
+                self.policy = mpc
+                self.stage = 1
+        self._last_s = s
+        self.lap_log.append(np.array(state))
+        self.policy.set_state(state[:X_DIM], state[X_DIM:])
+        self.policy.calc_input()
+        self.bus.publish_array(f"{self.name}/input", self.policy.get_input())

@@ -101,3 +101,35 @@ def test_visualization_flags_stale_vehicle(broker):
     finally:
         viz.stop()
         pub.close()
+
+
+def test_staged_controller_switches_policy(broker):
+    """StagedControllerNode swaps PID -> MPC-LTI after the first lap
+    (reference staged protocol, realtime/controller.py:111-197).
+    Simulated by feeding synthetic states whose s wraps."""
+    from car_racing_tpu.realtime.nodes import StagedControllerNode
+
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=0.8)
+    node = StagedControllerNode("stagetest", track, port=PORT, rate_hz=50.0)
+    node.start()
+    pub = bus_mod.Bus(port=PORT)
+    try:
+        time.sleep(0.2)
+        L = float(track.lap_length)
+        # sweep s across one wrap
+        for s in np.concatenate([np.linspace(0, L - 0.1, 20), np.linspace(0.05, 2.0, 10)]):
+            state = np.zeros(12)
+            state[0] = 0.6
+            state[4] = s
+            pub.publish_array("simulator/stagetest/state", state)
+            time.sleep(0.03)
+        deadline = time.time() + 5
+        while node.stage == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert node.laps_done >= 1
+        assert node.stage == 1  # switched to MPC-LTI
+        assert len(node.lap_logs) >= 1 and len(node.lap_logs[0]) > 5
+    finally:
+        node.stop()
+        pub.close()
