@@ -52,11 +52,30 @@ class IPMSolution(NamedTuple):
 
 
 def _clamp_psd(H: jax.Array, floor: float) -> jax.Array:
-    """Project a symmetric matrix to have eigenvalues >= floor."""
+    """Project a symmetric matrix to have eigenvalues >= floor (eigh)."""
     H = 0.5 * (H + H.T)
     w, V = jnp.linalg.eigh(H)
     w = jnp.maximum(w, floor)
     return (V * w) @ V.T
+
+
+def _gershgorin_shift(H: jax.Array, floor: float) -> jax.Array:
+    """Cheap PSD-ification: shift by the Gershgorin lower-bound deficit.
+
+    delta = max(0, floor - min_i(H_ii - sum_{j != i} |H_ij|)) guarantees all
+    eigenvalues >= floor without an eigendecomposition — O(n^2), tiny
+    compile footprint.  NOTE: far from the constraint boundary the degree-6
+    CBF curvature makes this bound so conservative that Newton steps
+    degenerate (measured: the barrier test stalls), so the eigh clamp stays
+    the default; use this only where compile time dominates and the problem
+    is near-convex.
+    """
+    H = 0.5 * (H + H.T)
+    diag = jnp.diag(H)
+    off = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
+    lower = jnp.min(diag - off)
+    delta = jnp.maximum(0.0, floor - lower)
+    return H + delta * jnp.eye(H.shape[0], dtype=H.dtype)
 
 
 def _kkt_residual(grad_L, c_i, c_e, s, lam):
@@ -75,7 +94,7 @@ def _kkt_residual(grad_L, c_i, c_e, s, lam):
 
 @partial(
     jax.jit,
-    static_argnames=("f", "c_ineq", "c_eq", "iters", "hessian_floor", "gauss_newton"),
+    static_argnames=("f", "c_ineq", "c_eq", "iters", "hessian_floor", "gauss_newton", "hessian_reg"),
 )
 def solve(
     f: Callable,
@@ -90,6 +109,7 @@ def solve(
     tau: float = 0.995,
     hessian_floor: float = 1e-8,
     gauss_newton: bool = False,
+    hessian_reg: str = "eigh",
 ) -> IPMSolution:
     """Solve ``min f(z) s.t. c_ineq(z) >= 0, c_eq(z) = 0``.
 
@@ -141,7 +161,8 @@ def solve(
         converged_now = res < tol
         done_iter = jnp.where(converged_now & (done_iter < 0), k, done_iter)
 
-        H = _clamp_psd(hess_L(z, lam, nu), hessian_floor)
+        reg = _clamp_psd if hessian_reg == "eigh" else _gershgorin_shift
+        H = reg(hess_L(z, lam, nu), hessian_floor)
 
         # eliminate (ds, dlam):
         #   dlam = (mu - s*lam)/s - (lam/s) * (Ji dz + ci - s)

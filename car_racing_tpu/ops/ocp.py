@@ -37,19 +37,30 @@ def prediction_matrices(A_seq: jax.Array, B_seq: jax.Array, C_seq: jax.Array, x0
     """
     N, n, m = B_seq.shape
 
-    def body(carry, inp):
-        x_free, rows = carry  # rows: (N, m, n) = dG/du_j of current x (transposed blocks)
-        A, B, C, k = inp
+    def free_body(x_free, inp):
+        A, C = inp
         x_free = A @ x_free + C
-        rows = rows @ A.T  # propagate all existing sensitivities
-        rows = rows.at[k].set(B.T)
-        return (x_free, rows), (x_free, rows)
+        return x_free, x_free
 
-    rows0 = jnp.zeros((N, m, n), dtype=x0.dtype)
-    ks = jnp.arange(N)
-    (_, _), (phis, row_hist) = jax.lax.scan(body, (x0, rows0), (A_seq, B_seq, C_seq, ks))
-    # row_hist: (N, N, m, n); G[k, :, j, :] = row_hist[k, j].T
-    G = jnp.transpose(row_hist, (0, 3, 1, 2))
+    _, phis = jax.lax.scan(free_body, x0, (A_seq, C_seq))
+
+    # sensitivity of x_{k+1} to u_j: S_j(k) = A_k ... A_{j+1} B_j, built by a
+    # masked scan per input index (a select, not a scatter — scatter-in-scan
+    # compiles pathologically on some TPU toolchains)
+    def per_input(j):
+        Bj = B_seq[j]
+
+        def body(S, inp):
+            A, k = inp
+            S_next = jnp.where(k == j, Bj, A @ S)
+            S_next = jnp.where(k < j, jnp.zeros_like(S_next), S_next)
+            return S_next, S_next
+
+        _, Ss = jax.lax.scan(body, jnp.zeros((n, m), x0.dtype), (A_seq, jnp.arange(N)))
+        return Ss  # (N, n, m): S at x_{k+1} for k=0..N-1
+
+    G = jax.vmap(per_input)(jnp.arange(N))  # (j, k, n, m)
+    G = jnp.transpose(G, (1, 2, 0, 3))  # (k, n, j, m)
     return phis, G
 
 

@@ -50,3 +50,33 @@ def test_batch_feasibility():
     ce = jnp.einsum("bij,bj->bi", batch.E, sols.z) - batch.e
     assert float(ci.min()) > -1e-8
     assert float(jnp.abs(ce).max()) < 1e-7
+
+
+def test_condense_tv_matches_rollout():
+    """TV condensation equals explicit rollout; LTI fast path equals TV."""
+    import numpy as np
+    from car_racing_tpu.ops import ocp
+
+    rng = np.random.default_rng(0)
+    N, n, m = 7, 6, 2
+    A_seq = jnp.asarray(np.stack([np.eye(n) + 0.05 * rng.normal(size=(n, n)) for _ in range(N)]))
+    B_seq = jnp.asarray(rng.normal(size=(N, n, m)))
+    C_seq = jnp.asarray(rng.normal(size=(N, n)))
+    x0 = jnp.asarray(rng.normal(size=n))
+    phi, G = ocp.condense(A_seq, B_seq, C_seq, x0)
+    U = rng.normal(size=(N, m))
+    x = np.asarray(x0)
+    xs = []
+    for k in range(N):
+        x = np.asarray(A_seq[k]) @ x + np.asarray(B_seq[k]) @ U[k] + np.asarray(C_seq[k])
+        xs.append(x.copy())
+    np.testing.assert_allclose(
+        np.asarray(phi) + np.asarray(G) @ U.reshape(-1), np.concatenate(xs), rtol=1e-12
+    )
+    A, B = A_seq[0], B_seq[0]
+    phi2, G2 = ocp.condense_lti(A, B, N, x0)
+    A_l = jnp.broadcast_to(A, (N, n, n))
+    B_l = jnp.broadcast_to(B, (N, n, m))
+    phi3, G3 = ocp.condense(A_l, B_l, jnp.zeros((N, n)), x0)
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G3), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(phi2), np.asarray(phi3), atol=1e-12)
