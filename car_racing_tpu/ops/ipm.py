@@ -41,6 +41,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _highp(fn):
+    """Trace the wrapped solver under full-precision f32 matmuls.
+
+    TPU f32 matmuls default to bfloat16 passes; inside ill-conditioned
+    interior-point iterations that drifts the Newton directions enough to
+    change which active set the solver lands on (observed: TPU-f32 mpccbf
+    disagreeing with CPU-f32/f64).  Control-grade numerics want exact f32.
+    """
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 class IPMSolution(NamedTuple):
     z: jax.Array  # primal solution
     lam: jax.Array  # inequality multipliers (>= 0)
@@ -78,6 +96,26 @@ def _gershgorin_shift(H: jax.Array, floor: float) -> jax.Array:
     return H + delta * jnp.eye(H.shape[0], dtype=H.dtype)
 
 
+def _eps_for(dtype):
+    """Division/complementarity floors: f32 cannot represent the f64 path's
+    1e-12-scale barriers without overflowing lam/s ratios."""
+    if dtype == jnp.float64:
+        return 1e-12, 1e-14
+    return 1e-8, 3e-8
+
+
+def _sigma_cap(dtype):
+    """Cap on the barrier ratio lam/s: keeps Hbar's condition number inside
+    what the dtype's dense solve can take (the LMPC equality-KKT block goes
+    NaN in f32 otherwise)."""
+    return 1e14 if dtype == jnp.float64 else 1e6
+
+
+def _eq_reg(dtype):
+    """Regularization of the equality block in the KKT matrix."""
+    return 1e-10 if dtype == jnp.float64 else 1e-6
+
+
 def _kkt_residual(grad_L, c_i, c_e, s, lam):
     comp = s * lam
     return jnp.max(
@@ -96,6 +134,7 @@ def _kkt_residual(grad_L, c_i, c_e, s, lam):
     jax.jit,
     static_argnames=("f", "c_ineq", "c_eq", "iters", "hessian_floor", "gauss_newton", "hessian_reg"),
 )
+@_highp
 def solve(
     f: Callable,
     c_ineq: Callable,
@@ -127,6 +166,7 @@ def solve(
     dtype = z0.dtype
     if tol is None:
         tol = 1e-7 if dtype == jnp.float64 else 1e-3
+    eps_div, mu_floor = _eps_for(dtype)
 
     grad_f = jax.grad(f)
     jac_i = jax.jacfwd(c_ineq)
@@ -166,13 +206,13 @@ def solve(
 
         # eliminate (ds, dlam):
         #   dlam = (mu - s*lam)/s - (lam/s) * (Ji dz + ci - s)
-        sl = lam / jnp.maximum(s, 1e-12)
-        r_bar = (mu - s * lam) / jnp.maximum(s, 1e-12) - sl * (ci - s)
+        sl = jnp.minimum(lam / jnp.maximum(s, eps_div), _sigma_cap(dtype))
+        r_bar = (mu - s * lam) / jnp.maximum(s, eps_div) - sl * (ci - s)
         Hbar = H + (Ji.T * sl) @ Ji
         g_bar = -gL + Ji.T @ r_bar
 
         if p:
-            M = jnp.block([[Hbar, Je.T], [Je, -1e-10 * jnp.eye(p, dtype=dtype)]])
+            M = jnp.block([[Hbar, Je.T], [Je, -_eq_reg(dtype) * jnp.eye(p, dtype=dtype)]])
             rhs = jnp.concatenate([g_bar, -ce])
             sol = jnp.linalg.solve(M, rhs)
             dz, dnu = sol[:n], sol[n:]
@@ -216,7 +256,7 @@ def solve(
         s = jnp.where(upd & (ci_new > 1e-12), ci_new, s)
 
         duality = jnp.sum(s * lam) / jnp.maximum(m, 1)
-        mu = jnp.where(upd, jnp.maximum(sigma * duality, 1e-12), mu)
+        mu = jnp.where(upd, jnp.maximum(sigma * duality, mu_floor), mu)
         best_res = jnp.minimum(best_res, res)
         return (z, s, lam, nu, mu, best_res, done_iter, k + 1), None
 
@@ -271,6 +311,7 @@ jax.tree_util.register_dataclass(QP)
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@_highp
 def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None) -> IPMSolution:
     """Specialized primal-dual IPM for dense convex QPs.
 
@@ -285,6 +326,7 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
     dtype = H.dtype
     if tol is None:
         tol = 1e-8 if dtype == jnp.float64 else 1e-3
+    eps_div, mu_floor = _eps_for(dtype)
 
     s = jnp.maximum(C @ z0 - d, 1e-2)
     lam = jnp.full((m,), 0.1, dtype) / s
@@ -301,13 +343,13 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
         converged_now = res < tol
         done_iter = jnp.where(converged_now & (done_iter < 0), k, done_iter)
 
-        sl = lam / jnp.maximum(s, 1e-12)
-        r_bar = (mu - s * lam) / jnp.maximum(s, 1e-12) - sl * (ci - s)
+        sl = jnp.minimum(lam / jnp.maximum(s, eps_div), _sigma_cap(dtype))
+        r_bar = (mu - s * lam) / jnp.maximum(s, eps_div) - sl * (ci - s)
         Hbar = H + (C.T * sl) @ C + 1e-10 * jnp.eye(n, dtype=dtype)
         g_bar = -gL + C.T @ r_bar
 
         if p:
-            M = jnp.block([[Hbar, E.T], [E, -1e-10 * jnp.eye(p, dtype=dtype)]])
+            M = jnp.block([[Hbar, E.T], [E, -_eq_reg(dtype) * jnp.eye(p, dtype=dtype)]])
             rhs = jnp.concatenate([g_bar, -ce])
             sol = jnp.linalg.solve(M, rhs)
             dz, dnu = sol[:n], sol[n:]
@@ -328,7 +370,7 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
         lam = jnp.where(upd, lam + a_l * dlam, lam)
         nu = jnp.where(upd, nu + a_l * dnu, nu)
         duality = jnp.sum(s * lam) / jnp.maximum(m, 1)
-        mu = jnp.where(upd, jnp.maximum(0.1 * duality, 1e-14), mu)
+        mu = jnp.where(upd, jnp.maximum(0.1 * duality, mu_floor), mu)
         return (z, s, lam, nu, mu, done_iter, k + 1), None
 
     init = (z0, s, lam, nu, mu, jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
@@ -356,6 +398,7 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@_highp
 def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None) -> IPMSolution:
     """Batched :func:`solve_qp`: every QP field carries a leading batch dim.
 
@@ -376,6 +419,7 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
     if tol is None:
         # dtype-aware: float32 cannot reach the f64 KKT tolerance
         tol = 1e-8 if dtype == jnp.float64 else 1e-3
+    eps_div, mu_floor = _eps_for(dtype)
     tau = 0.995
 
     bmm = lambda M, v: jnp.einsum("bij,bj->bi", M, v)
@@ -401,8 +445,8 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
         res = kkt_res(z, s, lam, nu)
         done = done | (res < tol)
 
-        sl = lam / jnp.maximum(s, 1e-12)
-        r_bar = (mu[:, None] - s * lam) / jnp.maximum(s, 1e-12) - sl * (ci - s)
+        sl = jnp.minimum(lam / jnp.maximum(s, eps_div), _sigma_cap(dtype))
+        r_bar = (mu[:, None] - s * lam) / jnp.maximum(s, eps_div) - sl * (ci - s)
         Hbar = H + jnp.einsum("bki,bk,bkj->bij", C, sl, C)
         Hbar = Hbar + 1e-9 * jnp.eye(n, dtype=dtype)
         g_bar = -gL + bmT(C, r_bar)
@@ -415,7 +459,7 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
             W_g = W[:, :, 0]
             W_E = W[:, :, 1:]  # (B, n, p)
             ce = bmm(E, z) - e
-            S = jnp.einsum("bpi,bik->bpk", E, W_E) + 1e-10 * jnp.eye(p, dtype=dtype)
+            S = jnp.einsum("bpi,bik->bpk", E, W_E) + _eq_reg(dtype) * jnp.eye(p, dtype=dtype)
             rhs_nu = bmm(E, W_g) + ce
             dnu = jnp.linalg.solve(S, rhs_nu[..., None])[..., 0]
             dz = W_g - jnp.einsum("bip,bp->bi", W_E, dnu)
@@ -438,7 +482,7 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
             nu_new = nu + a_l[:, None] * dnu
             nu = jnp.where(upd, nu_new, nu)
         duality = jnp.sum(s * lam, axis=1) / m
-        mu = jnp.where(upd[:, 0], jnp.maximum(0.1 * duality, 1e-14), mu)
+        mu = jnp.where(upd[:, 0], jnp.maximum(0.1 * duality, mu_floor), mu)
         return (z, s, lam, nu, mu, done), None
 
     done0 = jnp.zeros((B,), bool)
@@ -454,4 +498,101 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
         converged=res < tol * 1e3,
         kkt_res=res,
         iterations=jnp.full((B,), iters, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-constraint IPM: quadratic objective, explicit linear rows, and
+# nonlinear rows whose (values, Jacobian) come from a closed-form callable.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("c_nl", "iters"))
+@_highp
+def solve_qp_nl(
+    H: jax.Array,
+    g: jax.Array,
+    C: jax.Array,
+    d: jax.Array,
+    c_nl: Callable,
+    z0: jax.Array,
+    *,
+    iters: int = 40,
+    tol: float | None = None,
+) -> IPMSolution:
+    """Solve ``min 1/2 z'Hz + g'z  s.t.  Cz >= d,  c_nl(z) >= 0``.
+
+    ``c_nl(z) -> (vals (m2,), jac (m2, n))`` supplies the nonlinear rows
+    *with their Jacobian in closed form* — for the CBF controllers this
+    replaces jacfwd through the whole constraint closure with a few tiny
+    matmuls, cutting the traced graph (and the remote-compile time on TPU)
+    by an order of magnitude.  Gauss-Newton Hessian (= H, constant PSD).
+    """
+    n = H.shape[0]
+    m1 = C.shape[0]
+    m2 = jax.eval_shape(lambda z: c_nl(z)[0], z0).shape[0]
+    m = m1 + m2
+    dtype = H.dtype
+    if tol is None:
+        tol = 1e-8 if dtype == jnp.float64 else 1e-3
+    eps_div, mu_floor = _eps_for(dtype)
+    tau = 0.995
+
+    def eval_c(z):
+        vals_nl, jac_nl = c_nl(z)
+        ci = jnp.concatenate([C @ z - d, vals_nl])
+        Ji = jnp.concatenate([C, jac_nl], axis=0)
+        return ci, Ji
+
+    ci0, _ = eval_c(z0)
+    s = jnp.maximum(ci0, 1e-2)
+    lam = jnp.full((m,), 0.1, dtype) / s
+    mu = jnp.asarray(1e-1, dtype)
+
+    def step(carry, _):
+        z, s, lam, mu, done = carry
+        ci, Ji = eval_c(z)
+        gL = H @ z + g - Ji.T @ lam
+        res = jnp.max(
+            jnp.concatenate([jnp.abs(gL), jnp.abs(ci - s), jnp.abs(s * lam)])
+        )
+        done = done | (res < tol)
+
+        sl = jnp.minimum(lam / jnp.maximum(s, eps_div), _sigma_cap(dtype))
+        r_bar = (mu - s * lam) / jnp.maximum(s, eps_div) - sl * (ci - s)
+        Hbar = H + (Ji.T * sl) @ Ji + 1e-9 * jnp.eye(n, dtype=dtype)
+        g_bar = -gL + Ji.T @ r_bar
+        dz = jnp.linalg.solve(Hbar, g_bar)
+        ds = Ji @ dz + (ci - s)
+        dlam = r_bar - sl * (Ji @ dz)
+
+        neg = lambda dv, v: jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), jnp.inf)
+        a_s = jnp.minimum(1.0, jnp.min(neg(ds, s)))
+        a_l = jnp.minimum(1.0, jnp.min(neg(dlam, lam)))
+
+        upd = ~done
+        z = jnp.where(upd, z + a_s * dz, z)
+        s = jnp.where(upd, s + a_s * ds, s)
+        lam = jnp.where(upd, lam + a_l * dlam, lam)
+        # slack reset onto strictly-feasible constraints (see solve())
+        ci_new, _ = eval_c(z)
+        s = jnp.where(upd & (ci_new > 1e-12), ci_new, s)
+        duality = jnp.sum(s * lam) / m
+        mu = jnp.where(upd, jnp.maximum(0.2 * duality, mu_floor), mu)
+        return (z, s, lam, mu, done), None
+
+    (z, s, lam, mu, done), _ = jax.lax.scan(
+        step, (z0, s, lam, mu, jnp.asarray(False)), None, length=iters
+    )
+    ci, Ji = eval_c(z)
+    gL = H @ z + g - Ji.T @ lam
+    res = jnp.max(jnp.concatenate([jnp.abs(gL), jnp.abs(ci - s), jnp.abs(s * lam)]))
+    return IPMSolution(
+        z=z,
+        lam=lam,
+        nu=jnp.zeros((0,), dtype),
+        s=s,
+        converged=res < tol * 1e2,
+        kkt_res=res,
+        iterations=jnp.full((), iters, jnp.int32),
     )

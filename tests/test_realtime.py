@@ -133,3 +133,40 @@ def test_staged_controller_switches_policy(broker):
     finally:
         node.stop()
         pub.close()
+
+
+def test_broker_survives_garbage(broker):
+    """Malformed frames must not crash the broker or affect other clients."""
+    import socket as socket_mod
+
+    good_a = bus_mod.Bus(port=PORT)
+    good_b = bus_mod.Bus(port=PORT)
+    got = []
+    good_a.subscribe_array("fuzz/ok", got.append)
+    time.sleep(0.1)
+
+    # throw garbage at the broker from a raw socket; the broker may (and
+    # should) drop the connection at the first bogus frame header, which
+    # surfaces here as EPIPE — that is the expected containment behavior
+    raw = socket_mod.create_connection(("127.0.0.1", PORT))
+    rng = np.random.default_rng(0)
+    import struct
+
+    try:
+        for _ in range(20):
+            raw.sendall(rng.bytes(int(rng.integers(1, 200))))
+        raw.sendall(struct.pack("<IB", 1 << 30, 3))  # oversized frame
+    except (BrokenPipeError, ConnectionResetError):
+        pass
+    time.sleep(0.2)
+    raw.close()
+
+    # the healthy clients still communicate
+    payload = np.asarray([42.0])
+    good_b.publish_array("fuzz/ok", payload)
+    deadline = time.time() + 2
+    while not got and time.time() < deadline:
+        time.sleep(0.01)
+    assert got and got[0][0] == 42.0
+    good_a.close()
+    good_b.close()
