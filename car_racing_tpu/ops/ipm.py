@@ -217,6 +217,9 @@ def solve(
             sol = jnp.linalg.solve(M, rhs)
             dz, dnu = sol[:n], sol[n:]
         else:
+            # LU (not Cholesky) on purpose: the eigenvalue-clamped Lagrangian
+            # Hessian of a nonconvex problem can sit exactly at the PSD floor,
+            # where f32 Cholesky pivots may round negative and NaN the solve.
             dz = jnp.linalg.solve(Hbar + 1e-12 * jnp.eye(n, dtype=dtype), g_bar)
             dnu = jnp.zeros((0,), dtype)
 
@@ -354,7 +357,10 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
             sol = jnp.linalg.solve(M, rhs)
             dz, dnu = sol[:n], sol[n:]
         else:
-            dz = jnp.linalg.solve(Hbar, g_bar)
+            # Hbar is SPD by construction (H convex + sl >= 0 + ridge):
+            # Cholesky halves the factorization cost vs LU and lowers well.
+            L = jnp.linalg.cholesky(Hbar)
+            dz = jax.scipy.linalg.cho_solve((L, True), g_bar[:, None])[:, 0]
             dnu = jnp.zeros((0,), dtype)
 
         ds = C @ dz + (ci - s)
@@ -562,7 +568,11 @@ def solve_qp_nl(
         r_bar = (mu - s * lam) / jnp.maximum(s, eps_div) - sl * (ci - s)
         Hbar = H + (Ji.T * sl) @ Ji + 1e-9 * jnp.eye(n, dtype=dtype)
         g_bar = -gL + Ji.T @ r_bar
-        dz = jnp.linalg.solve(Hbar, g_bar)
+        # Hbar is SPD (convex QP Hessian + sl-weighted Gram + ridge):
+        # Cholesky instead of pivoted LU — pivoting serializes on TPU.
+        dz = jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(Hbar), True), g_bar[:, None]
+        )[:, 0]
         ds = Ji @ dz + (ci - s)
         dlam = r_bar - sl * (Ji @ dz)
 

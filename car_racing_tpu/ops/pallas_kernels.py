@@ -13,16 +13,39 @@ across problems.
 
 Falls back to ``jnp.linalg`` off-TPU (and under ``interpret=True`` for CPU
 tests of the kernel itself).
+
+**Dispatch policy (measured 2026-08, libtpu for v5e):** XLA's batched
+Cholesky now lowers these tiny-batch solves onto the MXU (blocked
+right-looking trailing updates become batched matmuls) and, under
+scan-fused device-time measurement, beats the lane-major VPU kernel at
+n<=24 batches (0.19us vs 2.6us per 256-batch solve) and ties at B=4096.
+``solve_batched``/``solve_multi_batched`` therefore default to XLA
+Cholesky on TPU; set ``CAR_RACING_TPU_PALLAS_SOLVE=1`` to select the
+Pallas kernels (kept for regimes/toolchains where XLA's batched
+factorizations regress — they were 38-59x faster than XLA's batched LU
+under per-dispatch measurement on earlier stacks).
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# ~16 MB of scoped VMEM per core on v5e; keep the kernel's working set
+# (a_work + L columns + stack temporaries, ~2 copies of (n, n, blk) f32)
+# comfortably under it by shrinking the lane block as n grows.
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _lane_block(n: int, requested: int, itemsize: int = 4) -> int:
+    cap = _VMEM_BUDGET_BYTES // (2 * n * n * itemsize)
+    cap = max(128, (cap // 128) * 128)
+    return min(requested, cap)
 
 
 def _cholesky_solve_kernel(a_ref, b_ref, x_ref):
@@ -98,7 +121,7 @@ def cholesky_solve_batched(
     through the kernel with ``lax.map`` so each block fits VMEM; B is
     zero-padded to a block multiple (padded problems solve the identity)."""
     B, n, _ = A.shape
-    blk = min(block_b, max(128, B))
+    blk = _lane_block(n, min(block_b, max(128, B)), A.dtype.itemsize)
     pad = (-B) % blk
     if pad:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (pad, n, n))
@@ -116,11 +139,19 @@ def cholesky_solve_batched(
     return jnp.transpose(x_t, (1, 0))[:B]
 
 
+def _use_pallas_solve() -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("CAR_RACING_TPU_PALLAS_SOLVE", "0") == "1"
+    )
+
+
 def solve_batched(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Batched SPD solve: Pallas lane-major kernel on TPU, jnp elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Batched SPD solve (see module docstring for the dispatch policy)."""
+    if _use_pallas_solve():
         return cholesky_solve_batched(A, b)
-    return jnp.linalg.solve(A, b[..., None])[..., 0]
+    L = jnp.linalg.cholesky(A)
+    return jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
 
 
 def _cholesky_solve_multi_kernel(a_ref, b_ref, x_ref):
@@ -183,7 +214,7 @@ def cholesky_solve_multi_batched(
     sides (the shape of one block-eliminated KKT step: r = 1 + p)."""
     B, n, _ = A.shape
     r = Brhs.shape[2]
-    blk = min(block_b, max(128, B))
+    blk = _lane_block(n, min(block_b, max(128, B)), A.dtype.itemsize)
     pad = (-B) % blk
     if pad:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (pad, n, n))
@@ -203,7 +234,8 @@ def cholesky_solve_multi_batched(
 
 
 def solve_multi_batched(A: jax.Array, Brhs: jax.Array) -> jax.Array:
-    """Backend-dispatching multi-RHS batched SPD solve."""
-    if jax.default_backend() == "tpu":
+    """Multi-RHS batched SPD solve (same dispatch policy as solve_batched)."""
+    if _use_pallas_solve():
         return cholesky_solve_multi_batched(A, Brhs)
-    return jnp.linalg.solve(A, Brhs)
+    L = jnp.linalg.cholesky(A)
+    return jax.scipy.linalg.cho_solve((L, True), Brhs)
