@@ -181,8 +181,8 @@ def ilqr(
         cu = jnp.einsum("ki,ij,kj->", uvar, param.R, uvar)
         return cx + cu
 
-    def iteration(carry, _):
-        uvar, xvar, cost, lamb, done = carry
+    def iteration(carry):
+        uvar, xvar, cost, lamb, done, it = carry
         l_x, l_u, l_xx, l_uu = _ilqr_cost_terms(
             param, xvar, uvar, xtarget, obs_traj, agent_half, obs_half
         )
@@ -201,12 +201,24 @@ def ilqr(
         lamb_next = jnp.where(accept, lamb / 10.0, lamb * 10.0)
         done = done | (accept & conv) | (lamb_next > 1000.0)
         lamb = jnp.where(done, lamb, lamb_next)
-        return (uvar, xvar, cost, lamb, done), None
+        return (uvar, xvar, cost, lamb, done, it + 1)
 
     u0 = jnp.zeros((N, U_DIM), dtype)
     x0_traj = rollout(u0)
-    init = (u0, x0_traj, total_cost(x0_traj, u0), jnp.asarray(1.0, dtype), jnp.asarray(False))
-    (uvar, _, _, _, _), _ = jax.lax.scan(iteration, init, None, length=param.max_iter)
+    init = (
+        u0,
+        x0_traj,
+        total_cost(x0_traj, u0),
+        jnp.asarray(1.0, dtype),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    # while_loop (not scan): converged solves exit after ~10-20 iterations
+    # instead of always paying the full max_iter=150 sequential sweeps
+    # (reference breaks out of its Python loop the same way, control.py:183-191).
+    uvar = jax.lax.while_loop(
+        lambda c: (~c[4]) & (c[5] < param.max_iter), iteration, init
+    )[0]
     return uvar[0]
 
 

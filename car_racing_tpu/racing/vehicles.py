@@ -22,6 +22,11 @@ from ..ops import dynamics, track as track_ops
 from ..utils.constants import U_DIM, X_DIM
 from ..utils.params import CarParam, SystemParam
 
+# Horizon-batched Frenet->global transform (single device call per horizon).
+_frenet_to_global_batch = jax.jit(
+    jax.vmap(track_ops.frenet_to_global_state, in_axes=(None, 0))
+)
+
 
 class ModelBase:
     """Lap-structured logging + lifecycle (reference base.py:716-844)."""
@@ -199,13 +204,22 @@ class NoDynamicsModel(ModelBase):
         return xcurv, xglob
 
     def get_trajectory_nsteps(self, t0, delta_t, n):
-        xcurv_nsteps = np.zeros((X_DIM, n))
-        xglob_nsteps = np.zeros((X_DIM, n))
-        for i in range(n):
-            xc, xg = self.get_estimation(self.time + i * delta_t)
-            xcurv_nsteps[:, i] = xc
-            xglob_nsteps[:, i] = xg
-        return xcurv_nsteps, xglob_nsteps
+        # One batched device call for the whole horizon: per-point
+        # get_estimation() round-trips host<->device n times, which at
+        # interconnect latency (~tens of ms each) dominated the iLQR and
+        # MPC-CBF sim loops.  The polynomial part is host numpy; only the
+        # Frenet->global transform touches the device, once.
+        ts = self.time + delta_t * np.arange(n)
+        s = np.polyval(self.s_coef, ts)
+        ey = np.polyval(self.ey_coef, ts)
+        zeros = np.zeros(n)
+        vs = np.polyval(np.polyder(self.s_coef), ts) if len(self.s_coef) > 1 else zeros
+        vey = np.polyval(np.polyder(self.ey_coef), ts) if len(self.ey_coef) > 1 else zeros
+        xcurv_nsteps = np.stack([vs, vey, zeros, zeros, s, ey], axis=1)  # (n, X_DIM)
+        xglob_nsteps = np.asarray(
+            _frenet_to_global_batch(self.track, jnp.asarray(xcurv_nsteps))
+        )
+        return xcurv_nsteps.T, xglob_nsteps.T
 
     def forward_dynamics(self, realtime_flag=False):
         self.time += self.timestep
