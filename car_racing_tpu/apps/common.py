@@ -57,7 +57,15 @@ def load_sim(path):
 
 
 def finish(sim, args, name_prefix, racing_game=False):
-    """Post-run plotting/animation per the reference driver flags."""
+    """Post-run plotting/animation per the reference driver flags, plus the
+    solve-latency table (the reference prints per-solve wall time around
+    every solver call, control.py:24,60,...)."""
+    from ..utils.profiling import GLOBAL_TIMER
+
+    report = GLOBAL_TIMER.report()
+    if report:
+        print("solver latency (host wall-clock, incl. dispatch):")
+        print(report)
     if args.get("plotting"):
         os.makedirs("media/plots", exist_ok=True)
         plotting.plot_simulation(sim, save_path=f"media/plots/{name_prefix}_traj.png")

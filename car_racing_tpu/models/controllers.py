@@ -253,7 +253,7 @@ def _cbf_nlp(
     lap_length,
     alpha,
     safety_margin,
-    z_warm,
+    warm,  # None | (z, lam, s) previous primal-dual iterate
     iters: int,
 ):
     """Shared CBF-constrained MPC core used by :func:`mpccbf` (margin 0.2,
@@ -371,14 +371,18 @@ def _cbf_nlp(
         J = jnp.where(obs_mask.repeat(N)[:, None], J, 0.0)
         return vals.reshape(-1), J
 
-    z0 = z_warm if z_warm is not None else jnp.zeros(n_z, dtype)
-    z0 = z0.at[n_u:].set(jnp.maximum(z0[n_u:], 0.1))
-    sol = ipm.solve_qp_nl(H, g, C_lin, d_lin, c_nl, z0, iters=iters)
+    if warm is None:
+        z0 = jnp.zeros(n_z, dtype).at[n_u:].set(0.1)
+        lam0 = s0 = None
+    else:
+        z0, lam0, s0 = warm
+        z0 = z0.at[n_u:].set(jnp.maximum(z0[n_u:], 0.1))
+    sol = ipm.solve_qp_nl(H, g, C_lin, d_lin, c_nl, z0, lam0=lam0, s0=s0, iters=iters)
     U = sol.z[:n_u].reshape(N, U_DIM)
     return U, states_of(sol.z), sol
 
 
-@partial(jax.jit, static_argnames=("return_traj",))
+@partial(jax.jit, static_argnames=("return_traj", "iters"))
 def mpccbf(
     xcurv: jax.Array,
     xtarget: jax.Array,
@@ -390,8 +394,9 @@ def mpccbf(
     agent_half: jax.Array,  # (2,) ego (length/2, width/2)
     obs_halfs: jax.Array,  # (n_obs, 2)
     lap_length: jax.Array,
-    z_warm: jax.Array | None = None,
+    warm=None,  # None | (z, lam, s) previous primal-dual iterate
     return_traj: bool = False,
+    iters: int = 40,
 ):
     """MPC with discrete-time control-barrier-function rows per obstacle.
 
@@ -418,15 +423,15 @@ def mpccbf(
         lap_length,
         param.alpha,
         0.2,
-        z_warm,
-        iters=40,
+        warm,
+        iters=iters,
     )
     if return_traj:
         return U[0], U, X, sol
     return U[0]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("iters",))
 def mpc_multi_agents(
     xcurv: jax.Array,
     x_targets: jax.Array,  # (N, X_DIM) interpolated overtake targets
@@ -441,14 +446,15 @@ def mpc_multi_agents(
     agent_half: jax.Array,
     obs_halfs: jax.Array,
     lap_length: jax.Array,
-    z_warm: jax.Array | None = None,
+    warm=None,  # None | (z, lam, s) previous primal-dual iterate
+    iters: int = 40,
 ):
     """Racing-game overtake tracker (reference mpc_multi_agents,
     control.py:251-473, with its hardcoded CBF_Flag=True branch: safety
     margin 0.15, alpha 0.6; the non-CBF geometric no-overlap rows at
     control.py:383-445 are dead code in the reference and not rebuilt).
     Targets interpolate the planner trajectory's ey over predicted s
-    (control.py:277,373-382).  Returns (u0, U, X)."""
+    (control.py:277,373-382).  Returns (u0, U, X, sol)."""
     N = x_targets.shape[0]
     U, X, sol = _cbf_nlp(
         xcurv,
@@ -467,10 +473,10 @@ def mpc_multi_agents(
         lap_length,
         jnp.asarray(0.6, xcurv.dtype),
         0.15,
-        z_warm,
-        iters=40,
+        warm,
+        iters=iters,
     )
-    return U[0], U, X
+    return U[0], U, X, sol
 
 
 # ---------------------------------------------------------------------------

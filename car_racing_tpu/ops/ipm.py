@@ -445,11 +445,12 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
         return jnp.max(jnp.concatenate(parts, axis=1), axis=1)
 
     def step(carry, _):
-        z, s, lam, nu, mu, done = carry
+        z, s, lam, nu, mu, done, done_iter, k = carry
         ci = bmm(C, z) - d
         gL = bmm(H, z) + g - bmT(C, lam) + (bmT(E, nu) if p else 0.0)
         res = kkt_res(z, s, lam, nu)
         done = done | (res < tol)
+        done_iter = jnp.where(done & (done_iter < 0), k, done_iter)
 
         sl = jnp.minimum(lam / jnp.maximum(s, eps_div), _sigma_cap(dtype))
         r_bar = (mu[:, None] - s * lam) / jnp.maximum(s, eps_div) - sl * (ci - s)
@@ -489,11 +490,12 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
             nu = jnp.where(upd, nu_new, nu)
         duality = jnp.sum(s * lam, axis=1) / m
         mu = jnp.where(upd[:, 0], jnp.maximum(0.1 * duality, mu_floor), mu)
-        return (z, s, lam, nu, mu, done), None
+        return (z, s, lam, nu, mu, done, done_iter, k + 1), None
 
     done0 = jnp.zeros((B,), bool)
-    (z, s, lam, nu, mu, done), _ = jax.lax.scan(
-        step, (z0, s, lam, nu, mu, done0), None, length=iters
+    di0 = jnp.full((B,), -1, jnp.int32)
+    (z, s, lam, nu, mu, done, done_iter, _), _ = jax.lax.scan(
+        step, (z0, s, lam, nu, mu, done0, di0, jnp.asarray(0, jnp.int32)), None, length=iters
     )
     res = kkt_res(z, s, lam, nu)
     return IPMSolution(
@@ -503,7 +505,9 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
         s=s,
         converged=res < tol * 1e3,
         kkt_res=res,
-        iterations=jnp.full((B,), iters, jnp.int32),
+        # real per-problem Newton-iteration counts (first pass under tol) —
+        # "solver iters/s", a BASELINE.md metric, is computed from these
+        iterations=jnp.where(done_iter < 0, iters, done_iter),
     )
 
 
@@ -523,6 +527,8 @@ def solve_qp_nl(
     c_nl: Callable,
     z0: jax.Array,
     *,
+    lam0: jax.Array | None = None,
+    s0: jax.Array | None = None,
     iters: int = 40,
     tol: float | None = None,
 ) -> IPMSolution:
@@ -533,6 +539,13 @@ def solve_qp_nl(
     replaces jacfwd through the whole constraint closure with a few tiny
     matmuls, cutting the traced graph (and the remote-compile time on TPU)
     by an order of magnitude.  Gauss-Newton Hessian (= H, constant PSD).
+
+    ``lam0``/``s0`` enable primal-DUAL warm starting: a primal-only warm
+    start re-initializes lam = 0.1/s, which for problems with large penalty
+    weights (the 1e4 CBF slack costs) leaves the multipliers ~5 orders of
+    magnitude from stationarity — measured: the warm solve stalls at
+    kkt_res ~ 1e4 while a cold solve converges.  Passing the previous
+    step's (lam, s), pushed away from the boundary, fixes that.
     """
     n = H.shape[0]
     m1 = C.shape[0]
@@ -551,9 +564,11 @@ def solve_qp_nl(
         return ci, Ji
 
     ci0, _ = eval_c(z0)
-    s = jnp.maximum(ci0, 1e-2)
-    lam = jnp.full((m,), 0.1, dtype) / s
-    mu = jnp.asarray(1e-1, dtype)
+    s = jnp.maximum(ci0, 1e-2) if s0 is None else jnp.maximum(s0, 1e-3)
+    lam = (jnp.full((m,), 0.1, dtype) / s) if lam0 is None else jnp.maximum(lam0, 1e-3)
+    mu = jnp.asarray(1e-1, dtype) if lam0 is None else jnp.maximum(
+        jnp.sum(s * lam) / m, mu_floor
+    )
 
     def step(carry, _):
         z, s, lam, mu, done = carry

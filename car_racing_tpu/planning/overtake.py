@@ -27,6 +27,7 @@ Replicated behavioral quirks (documented, kept for parity):
 from __future__ import annotations
 
 from functools import partial
+from time import perf_counter
 
 import numpy as np
 import jax
@@ -297,6 +298,7 @@ class OvertakeTrajPlanner:
                 right_ey[br] = obs_trajs[i, :, 5]
                 right_gate[br] = np.abs(s_pred - obs_s_wrapped[i]) <= veh_length + margin
 
+        _t0 = perf_counter()
         X_all, qp_costs, conv = _solve_branch_batch(
             jnp.asarray(xcurv_ego),
             param.A,
@@ -312,6 +314,7 @@ class OvertakeTrajPlanner:
         )
         X_all = np.array(X_all)  # (n_br, N+1, X_DIM) — writable copy
         conv = np.asarray(conv)
+        batch_solve_s = perf_counter() - _t0  # wall time of the fused batch
 
         # kinematic fallback for unconverged branches
         # (overtake_traj_planner.py:365-374)
@@ -359,8 +362,10 @@ class OvertakeTrajPlanner:
             all_bezier_xglob[br] = to_glob(line)
             all_traj_xglob[br] = to_glob(X_all[br])
 
-        solve_time = np.zeros(n_br)  # per-branch wall time has no meaning in
-        # a single fused batch; kept for API parity
+        # all branches solve as ONE fused batch, so each branch's recorded
+        # time is the batch wall time (the reference's per-process times,
+        # overtake_traj_planner.py:375-378, have no per-branch analog here)
+        solve_time = np.full(n_br, batch_solve_s)
         return (
             target_traj_xcurv,
             target_traj_xglob,
@@ -510,6 +515,7 @@ class OvertakePathPlanner:
                     if in_range and not skip0:
                         lower[br, k] = max(lower[br, k], obs_infos[i, 1] + safety_factor * veh_width)
 
+        _t0 = perf_counter()
         sol_ey, costs, conv = _solve_path_batch(
             jnp.asarray(float(xcurv_ego[5])),
             jnp.asarray(np.asarray(cp)[:, 3, 1]),
@@ -522,6 +528,7 @@ class OvertakePathPlanner:
             num_horizon=N,
         )
         costs = np.where(np.asarray(conv), np.asarray(costs), np.inf)
+        batch_solve_s = perf_counter() - _t0
         direction_flag = int(np.argmin(costs))
         best_ey = np.asarray(sol_ey[direction_flag])
 
@@ -565,7 +572,7 @@ class OvertakePathPlanner:
             direction_flag,
             sorted_vehicles,
             bezier_xglob,
-            np.zeros(n_br),
+            np.full(n_br, batch_solve_s),
             all_bezier_xglob,
             all_traj_xglob,
         )

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..models import controllers
 from ..ops import track as track_ops
 from ..utils.constants import U_DIM, X_DIM
+from ..utils.profiling import GLOBAL_TIMER
 from ..utils.params import (
     ILQRParam,
     LQRParam,
@@ -78,8 +79,10 @@ class ControlBase:
     def get_input(self):
         return self.u
 
-    def _log_none_artifacts(self):
-        """Placeholder artifact rows for the ego (base.py:107-117)."""
+    def _log_none_artifacts(self, solve_ms=None):
+        """Placeholder artifact rows for the ego (base.py:107-117);
+        ``solve_ms`` records the step's measured solve latency (the
+        reference logs per-solve wall time, control.py:24,60,...)."""
         if self.agent_name != "ego" or self.racing_sim is None:
             return
         ego = self.racing_sim.vehicles.get("ego")
@@ -88,6 +91,7 @@ class ControlBase:
         ego.local_trajs.append(None)
         ego.vehicles_interest.append(None)
         ego.splines.append(None)
+        ego.solver_time.append(solve_ms)
         ego.all_splines.append(None)
         ego.all_local_trajs.append(None)
         ego.lmpc_prediction.append(None)
@@ -106,8 +110,9 @@ class PIDTracking(ControlBase):
         self.set_target_deviation(eyt)
 
     def calc_input(self):
-        self.u = np.asarray(controllers.pid(jnp.asarray(self.x), jnp.asarray(self._xtarget())))
-        self._log_none_artifacts()
+        with GLOBAL_TIMER.measure("pid"):
+            self.u = np.asarray(controllers.pid(jnp.asarray(self.x), jnp.asarray(self._xtarget())))
+        self._log_none_artifacts(GLOBAL_TIMER.samples["pid"][-1])
         self.time += self.timestep
 
 
@@ -122,10 +127,11 @@ class LQRTracking(ControlBase):
         self.set_target_deviation(float(self.lqr_param.eyt))
 
     def calc_input(self):
-        self.u = np.asarray(
-            controllers.lqr(jnp.asarray(self.x), jnp.asarray(self._xtarget()), self.lqr_param)
-        )
-        self._log_none_artifacts()
+        with GLOBAL_TIMER.measure("lqr"):
+            self.u = np.asarray(
+                controllers.lqr(jnp.asarray(self.x), jnp.asarray(self._xtarget()), self.lqr_param)
+            )
+        self._log_none_artifacts(GLOBAL_TIMER.samples["lqr"][-1])
         self.time += self.timestep
 
 
@@ -142,20 +148,21 @@ class MPCTracking(ControlBase):
 
     def calc_input(self):
         N = self.mpc_lti_param.num_horizon
-        u0, U, _ = controllers.mpc_lti(
-            jnp.asarray(self.x),
-            jnp.asarray(self._xtarget()),
-            self.mpc_lti_param,
-            self.system_param,
-            self.track.width,
-            u_warm=self._u_warm,
-            return_traj=True,
-        )
+        with GLOBAL_TIMER.measure("mpc_lti"):
+            u0, U, _ = controllers.mpc_lti(
+                jnp.asarray(self.x),
+                jnp.asarray(self._xtarget()),
+                self.mpc_lti_param,
+                self.system_param,
+                self.track.width,
+                u_warm=self._u_warm,
+                return_traj=True,
+            )
+            self.u = np.asarray(u0)
         # shift-warm-start the next solve
         flat = np.asarray(U).reshape(-1)
         self._u_warm = jnp.asarray(np.concatenate([flat[U_DIM:], flat[-U_DIM:]]))
-        self.u = np.asarray(u0)
-        self._log_none_artifacts()
+        self._log_none_artifacts(GLOBAL_TIMER.samples["mpc_lti"][-1])
         self.time += self.timestep
 
 
@@ -184,21 +191,76 @@ class iLQRRacing(ControlBase):
         ego = vehicles[self.agent_name]
         agent_half = jnp.asarray([float(ego.param.length) / 2, float(ego.param.width) / 2])
         obs_half = agent_half  # reference hardcodes car1's dims == CarParam
-        self.u = np.asarray(
-            controllers.ilqr(
-                jnp.asarray(self.x),
-                jnp.asarray(self._xtarget()),
-                self.ilqr_param,
-                jnp.asarray(obs_traj.T),
-                agent_half,
-                obs_half,
+        with GLOBAL_TIMER.measure("ilqr"):
+            self.u = np.asarray(
+                controllers.ilqr(
+                    jnp.asarray(self.x),
+                    jnp.asarray(self._xtarget()),
+                    self.ilqr_param,
+                    jnp.asarray(obs_traj.T),
+                    agent_half,
+                    obs_half,
+                )
             )
-        )
-        self._log_none_artifacts()
+        self._log_none_artifacts(GLOBAL_TIMER.samples["ilqr"][-1])
         self.time += self.timestep
 
 
 MAX_OBSTACLES = 4  # static shape bound for vmapped CBF problems
+
+# fixed-iteration budgets for the CBF IPM: cold solves (first step, no
+# previous iterate) get the full budget; shift-warm-started solves converge
+# in far fewer Newton steps, so the compiled warm variant runs a shorter
+# scan — that's where warm starting buys latency in a fixed-iteration design
+CBF_ITERS_COLD = 40
+CBF_ITERS_WARM = 20
+
+
+def _stage_shift(a, axis=0):
+    """Shift one stage forward along ``axis``, repeating the final stage."""
+    a = np.asarray(a)
+    idx = np.concatenate([np.arange(1, a.shape[axis]), [a.shape[axis] - 1]])
+    return np.take(a, idx, axis=axis)
+
+
+def _shift_cbf_warm(sol, N, n_obs):
+    """Shift a CBF-problem primal-DUAL iterate one control period forward
+    (repeat the last stage), matching the reference's warm-start-from-
+    previous-solution at control.py:702-707.
+
+    Primal z = [U (N*U_DIM); slack (n_obs*(N+1))].  The multipliers/slacks
+    follow _cbf_nlp's inequality row layout: u-box lo/hi (2 x N x U_DIM),
+    vx lo/hi + ey lo/hi (4 x N), slack>=0 (n_obs x (N+1)), CBF (n_obs x N).
+    Shifting the duals too is what makes warm starting work: lam re-init
+    (0.1/s) sits ~5 orders of magnitude below the 1e4-scale slack-penalty
+    multipliers and the solve stalls (measured; see ipm.solve_qp_nl).
+    """
+    n_u = N * U_DIM
+
+    def shift_all(vec):
+        vec = np.asarray(vec)
+        parts = []
+        o = 0
+        for shape, axis in (
+            ((N, U_DIM), 0),  # u lower
+            ((N, U_DIM), 0),  # u upper
+            ((N,), 0),  # vx upper
+            ((N,), 0),  # vx lower
+            ((N,), 0),  # ey upper
+            ((N,), 0),  # ey lower
+            ((n_obs, N + 1), 1),  # slack >= 0
+            ((n_obs, N), 1),  # CBF rows
+        ):
+            sz = int(np.prod(shape))
+            parts.append(_stage_shift(vec[o : o + sz].reshape(shape), axis).reshape(-1))
+            o += sz
+        assert o == vec.size
+        return np.concatenate(parts)
+
+    u_shift = _stage_shift(np.asarray(sol.z[:n_u]).reshape(N, U_DIM)).reshape(-1)
+    sl_shift = _stage_shift(np.asarray(sol.z[n_u:]).reshape(n_obs, N + 1), axis=1).reshape(-1)
+    z = jnp.asarray(np.concatenate([u_shift, sl_shift]))
+    return (z, jnp.asarray(shift_all(sol.lam)), jnp.asarray(shift_all(sol.s)))
 
 
 class MPCCBFRacing(ControlBase):
@@ -243,20 +305,25 @@ class MPCCBFRacing(ControlBase):
         obs_mask &= gate
         ego = vehicles[self.agent_name]
         agent_half = jnp.asarray([float(ego.param.length) / 2, float(ego.param.width) / 2])
-        u0 = controllers.mpccbf(
-            jnp.asarray(self.x),
-            jnp.asarray(self._xtarget()),
-            self.mpc_cbf_param,
-            self.system_param,
-            self.track.width,
-            jnp.asarray(obs_trajs),
-            jnp.asarray(obs_mask),
-            agent_half,
-            jnp.asarray(obs_halfs),
-            jnp.asarray(self.lap_length),
-        )
-        self.u = np.asarray(u0)
-        self._log_none_artifacts()
+        with GLOBAL_TIMER.measure("mpccbf"):
+            u0, U, X, sol = controllers.mpccbf(
+                jnp.asarray(self.x),
+                jnp.asarray(self._xtarget()),
+                self.mpc_cbf_param,
+                self.system_param,
+                self.track.width,
+                jnp.asarray(obs_trajs),
+                jnp.asarray(obs_mask),
+                agent_half,
+                jnp.asarray(obs_halfs),
+                jnp.asarray(self.lap_length),
+                warm=self._z_warm,
+                return_traj=True,
+                iters=CBF_ITERS_COLD if self._z_warm is None else CBF_ITERS_WARM,
+            )
+            self.u = np.asarray(u0)
+        self._z_warm = _shift_cbf_warm(sol, N, MAX_OBSTACLES)
+        self._log_none_artifacts(GLOBAL_TIMER.samples["mpccbf"][-1])
         self.time += self.timestep
 
 
@@ -315,6 +382,7 @@ class LMPCRacingGame(ControlBase):
         self.old_ey = None
         self.old_direction_flag = None
         self._z_warm = None
+        self._z_warm_ma = None  # warm start for the multi-agent CBF tracker
 
     def set_vehicles_track(self):
         vehicles = self.racing_sim.vehicles
@@ -423,29 +491,31 @@ class LMPCRacingGame(ControlBase):
                 qs.append(np.asarray(q))
             ss_points = np.concatenate(pts, axis=1)  # (X_DIM, K)
             qfun_sel = np.concatenate(qs)
-            U, X, sol = ctrl.lmpc(
-                jnp.asarray(x),
-                self.lmpc_param,
-                jnp.asarray(A_tv),
-                jnp.asarray(B_tv),
-                jnp.asarray(C_tv),
-                jnp.asarray(ss_points),
-                jnp.asarray(qfun_sel),
-                jnp.asarray(u_old),
-                self.system_param,
-                jnp.asarray(self.lap_length),
-                jnp.asarray(self.lap_width),
-                z_warm=self._z_warm,
-                num_horizon=N,
-            )
-            self.u_pred = np.asarray(U)
-            self.x_pred = np.asarray(X)
+            with GLOBAL_TIMER.measure("lmpc"):
+                U, X, sol = ctrl.lmpc(
+                    jnp.asarray(x),
+                    self.lmpc_param,
+                    jnp.asarray(A_tv),
+                    jnp.asarray(B_tv),
+                    jnp.asarray(C_tv),
+                    jnp.asarray(ss_points),
+                    jnp.asarray(qfun_sel),
+                    jnp.asarray(u_old),
+                    self.system_param,
+                    jnp.asarray(self.lap_length),
+                    jnp.asarray(self.lap_width),
+                    z_warm=self._z_warm,
+                    num_horizon=N,
+                )
+                self.u_pred = np.asarray(U)
+                self.x_pred = np.asarray(X)
             self.u = self.u_pred[0]
             # shift warm start: inputs shifted one stage, lambda reused
             zw = np.concatenate(
                 [self.u_pred[1:].reshape(-1), self.u_pred[-1], np.asarray(sol.z)[N * U_DIM:]]
             )
             self._z_warm = jnp.asarray(zw)
+            self._z_warm_ma = None  # next overtake episode starts cold
             self.old_ey = None
             self.old_direction_flag = None
             # linearization points for the next regression
@@ -475,19 +545,20 @@ class LMPCRacingGame(ControlBase):
             ego_model.local_trajs.append(None)
             ego_model.vehicles_interest.append(None)
             ego_model.splines.append(None)
-            ego_model.solver_time.append(None)
+            ego_model.solver_time.append(GLOBAL_TIMER.samples["lmpc"][-1])
             ego_model.all_splines.append(None)
             ego_model.all_local_trajs.append(None)
             ego_model.lmpc_prediction.append(x_pred_xglob)
             ego_model.mpc_cbf_prediction.append(None)
         else:
-            if self.path_planner:
-                result = self.overtake_planner.get_local_path(x, self.time, vehicles_interest)
-            else:
-                result = self.overtake_planner.get_local_traj(
-                    x, self.time, vehicles_interest,
-                    A_tv, B_tv, C_tv, self.old_ey, self.old_direction_flag,
-                )
+            with GLOBAL_TIMER.measure("overtake_planner"):
+                if self.path_planner:
+                    result = self.overtake_planner.get_local_path(x, self.time, vehicles_interest)
+                else:
+                    result = self.overtake_planner.get_local_traj(
+                        x, self.time, vehicles_interest,
+                        A_tv, B_tv, C_tv, self.old_ey, self.old_direction_flag,
+                    )
             (traj_xcurv, traj_xglob, direction_flag, sorted_vehicles,
              bezier_xglob, solve_time, all_bezier_xglob, all_traj_xglob) = result
             self.old_ey = traj_xcurv[-1, 5]
@@ -528,22 +599,27 @@ class LMPCRacingGame(ControlBase):
             agent_half = jnp.asarray(
                 [float(ego_model.param.length) / 2, float(ego_model.param.width) / 2]
             )
-            u0, U, X = ctrl.mpc_multi_agents(
-                jnp.asarray(x),
-                jnp.asarray(x_targets),
-                self.racing_game_param.A,
-                self.racing_game_param.B,
-                self.racing_game_param.Q,
-                self.racing_game_param.R,
-                self.system_param,
-                self.track.width,
-                jnp.asarray(obs_trajs),
-                jnp.asarray(obs_mask),
-                agent_half,
-                jnp.asarray(obs_halfs),
-                jnp.asarray(self.lap_length),
-            )
-            self.u = np.asarray(u0)
+            with GLOBAL_TIMER.measure("mpc_multi_agents"):
+                u0, U, X, ma_sol = ctrl.mpc_multi_agents(
+                    jnp.asarray(x),
+                    jnp.asarray(x_targets),
+                    self.racing_game_param.A,
+                    self.racing_game_param.B,
+                    self.racing_game_param.Q,
+                    self.racing_game_param.R,
+                    self.system_param,
+                    self.track.width,
+                    jnp.asarray(obs_trajs),
+                    jnp.asarray(obs_mask),
+                    agent_half,
+                    jnp.asarray(obs_halfs),
+                    jnp.asarray(self.lap_length),
+                    warm=self._z_warm_ma,
+                    iters=CBF_ITERS_COLD if self._z_warm_ma is None else CBF_ITERS_WARM,
+                )
+                self.u = np.asarray(u0)
+            self._z_warm_ma = _shift_cbf_warm(ma_sol, Nc, MAX_OBSTACLES)
+            self._z_warm = None  # LMPC resumes cold after the overtake
             x_pred = np.asarray(X)
             # keep linearization points moving during overtakes
             self.lin_points = np.concatenate([x_pred[1:], x_pred[-1:]], axis=0)
