@@ -479,6 +479,55 @@ def mpc_multi_agents(
     return U[0], U, X, sol
 
 
+def _stage_shift(a: jax.Array, axis: int = 0) -> jax.Array:
+    """Shift one stage forward along ``axis``, repeating the final stage."""
+    n = a.shape[axis]
+    idx = jnp.concatenate([jnp.arange(1, n), jnp.array([n - 1])])
+    return jnp.take(a, idx, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("N", "n_obs"))
+def shift_cbf_warm(sol: ipm.IPMSolution, N: int, n_obs: int):
+    """Shift a CBF-problem primal-DUAL iterate one control period forward
+    (repeat the last stage) — the warm start for the next step's solve,
+    matching the reference's warm-start-from-previous-solution at
+    control.py:702-707.
+
+    Primal z = [U (N*U_DIM); slack (n_obs*(N+1))].  The multipliers and
+    slacks follow _cbf_nlp's inequality row layout: u-box lo/hi
+    (2 x N x U_DIM), vx lo/hi + ey lo/hi (4 x N), slack>=0 (n_obs x (N+1)),
+    CBF (n_obs x N).  Shifting the duals too is what makes warm starting
+    work: a lam re-init (0.1/s) sits ~5 orders of magnitude below the
+    1e4-scale slack-penalty multipliers and the solve stalls (measured;
+    see ipm.solve_qp_nl)."""
+    n_u = N * U_DIM
+
+    def shift_all(vec):
+        parts = []
+        o = 0
+        for shape, axis in (
+            ((N, U_DIM), 0),  # u lower
+            ((N, U_DIM), 0),  # u upper
+            ((N,), 0),  # vx upper
+            ((N,), 0),  # vx lower
+            ((N,), 0),  # ey upper
+            ((N,), 0),  # ey lower
+            ((n_obs, N + 1), 1),  # slack >= 0
+            ((n_obs, N), 1),  # CBF rows
+        ):
+            sz = 1
+            for dim in shape:
+                sz *= dim
+            parts.append(_stage_shift(vec[o : o + sz].reshape(shape), axis).reshape(-1))
+            o += sz
+        return jnp.concatenate(parts)
+
+    u_shift = _stage_shift(sol.z[:n_u].reshape(N, U_DIM)).reshape(-1)
+    sl_shift = _stage_shift(sol.z[n_u:].reshape(n_obs, N + 1), axis=1).reshape(-1)
+    z = jnp.concatenate([u_shift, sl_shift])
+    return (z, shift_all(sol.lam), shift_all(sol.s))
+
+
 # ---------------------------------------------------------------------------
 # LMPC (control.py:610-730)
 # ---------------------------------------------------------------------------

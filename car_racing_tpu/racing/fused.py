@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from ..models import controllers
-from ..ops import dynamics, ipm, ocp, track as track_ops
+from ..ops import dynamics, ipm, lmpc_learning, ocp, track as track_ops
 from ..utils.constants import U_DIM, X_DIM
-from ..utils.params import MPCParam, SystemParam
+from ..utils.params import LMPCParam, MPCCBFParam, MPCParam, SystemParam
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
@@ -71,6 +71,249 @@ def rollout_mpc_tracking(
     )
     xcurvs = jnp.concatenate([xcurvs, xcurv_T[None]], axis=0)
     return xcurvs, us
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "control_dt", "sub_dt", "cold_iters", "warm_iters"),
+)
+def rollout_mpccbf(
+    track: track_ops.Track,
+    bike_params: dynamics.BicycleParams,
+    cbf_param: MPCCBFParam,
+    sys_param: SystemParam,
+    xtarget: jax.Array,
+    xcurv0: jax.Array,
+    xglob0: jax.Array,
+    obs_s_coef: jax.Array,  # (n_obs, deg+1) polynomial s(t), polyval order
+    obs_ey_coef: jax.Array,  # (n_obs, deg+1) polynomial ey(t)
+    obs_active: jax.Array,  # (n_obs,) bool — static obstacle schedule
+    obs_halfs: jax.Array,  # (n_obs, 2)
+    agent_half: jax.Array,  # (2,)
+    n_steps: int = 100,
+    control_dt: float = 0.1,
+    sub_dt: float = 0.001,
+    cold_iters: int = 40,
+    warm_iters: int = 20,
+):
+    """Closed-loop MPC-CBF racing entirely on-device.
+
+    Obstacles follow a *static prescribed schedule* — polynomial
+    (s(t), ey(t)) like the NoDynamics obstacles of the reference CI tests
+    (auto_mpccbf_test.py:24-31) — so the whole loop (obstacle forecast,
+    gating, warm-started CBF solve, 100 dynamics substeps) fuses into one
+    ``lax.scan``.  Step 0 solves cold outside the scan; every scanned step
+    reuses the previous primal-dual iterate at the shorter warm budget,
+    exactly like the host-side MPCCBFRacing policy.
+
+    Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U), kkt (n_steps,)).
+    """
+    N = cbf_param.num_horizon
+    dtype = xcurv0.dtype
+    n_obs = obs_s_coef.shape[0]
+    L = track.lap_length.astype(dtype)
+    obs_vs = jax.vmap(jnp.polyder)(obs_s_coef)
+    obs_vey = jax.vmap(jnp.polyder)(obs_ey_coef)
+
+    def obs_forecast(t):
+        """(n_obs, N+1, X_DIM) prescribed-motion predictions at time t."""
+        ts = t + control_dt * jnp.arange(N + 1, dtype=dtype)
+        s = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_s_coef)
+        ey = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_ey_coef)
+        vs = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_vs)
+        vey = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_vey)
+        zeros = jnp.zeros_like(s)
+        return jnp.stack([vs, vey, zeros, zeros, s, ey], axis=2)
+
+    def solve(xcurv, t, warm, iters):
+        obs_trajs = obs_forecast(t)
+        gate = controllers.obstacle_gate_mask(xcurv, obs_trajs[:, 0, 4], L)
+        return controllers.mpccbf(
+            xcurv,
+            xtarget,
+            cbf_param,
+            sys_param,
+            track.width.astype(dtype),
+            obs_trajs,
+            obs_active & gate,
+            agent_half,
+            obs_halfs,
+            L,
+            warm=warm,
+            return_traj=True,
+            iters=iters,
+        )
+
+    def advance(xcurv, xglob, u):
+        xglob, xcurv = dynamics.propagate(
+            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+        )
+        # lap bookkeeping: wrap s like ModelBase.update_memory
+        wrap = xcurv[4] > L
+        return xcurv.at[4].add(jnp.where(wrap, -L, 0.0)), xglob
+
+    # step 0: cold solve
+    u0, U, _, sol = solve(xcurv0, jnp.asarray(0.0, dtype), None, cold_iters)
+    xcurv1, xglob1 = advance(xcurv0, xglob0, u0)
+    warm0 = controllers.shift_cbf_warm(sol, N, n_obs)
+
+    def step(carry, k):
+        xcurv, xglob, warm = carry
+        t = (k.astype(dtype) + 1.0) * control_dt
+        u, U, _, sol = solve(xcurv, t, warm, warm_iters)
+        xcurv_next, xglob_next = advance(xcurv, xglob, u)
+        warm_next = controllers.shift_cbf_warm(sol, N, n_obs)
+        return (xcurv_next, xglob_next, warm_next), (xcurv, u, sol.kkt_res)
+
+    (xcurv_T, _, _), (xcurvs, us, kkts) = jax.lax.scan(
+        step, (xcurv1, xglob1, warm0), jnp.arange(n_steps - 1)
+    )
+    xcurvs = jnp.concatenate([xcurv0[None], xcurvs, xcurv_T[None]], axis=0)
+    us = jnp.concatenate([u0[None], us], axis=0)
+    return xcurvs, us, kkts
+
+
+@partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+def rollout_lmpc_lap(
+    track: track_ops.Track,
+    bike_params: dynamics.BicycleParams,
+    lmpc_param: LMPCParam,
+    sys_param: SystemParam,
+    xcurv0: jax.Array,
+    xglob0: jax.Array,
+    ss_prev: jax.Array,  # (P, X_DIM) safe set of lap iter-1 (sentinel-padded)
+    qfun_prev: jax.Array,  # (P,) its cost-to-go (fully backfilled)
+    ss_prev2: jax.Array,  # (P, X_DIM) lap iter-2
+    qfun_prev2: jax.Array,  # (P,)
+    u_prev_lap: jax.Array,  # (P, U_DIM) inputs of lap iter-1 (regression data)
+    u_prev2_lap: jax.Array,  # (P, U_DIM) lap iter-2
+    valid_prev: jax.Array,  # (P,) bool regression-row mask of lap iter-1
+    valid_prev2: jax.Array,  # (P,)
+    counter: jax.Array,  # () int32: time_ss[iter-1] (append offset)
+    lin_points0: jax.Array,  # (N+1, X_DIM) initial linearization states
+    lin_input0: jax.Array,  # (N, U_DIM)
+    n_steps: int = 400,
+    control_dt: float = 0.1,
+    sub_dt: float = 0.001,
+):
+    """One full LMPC learning lap entirely on-device.
+
+    The safe-set arrays live in the scan carry: every step runs the local
+    regression (kernel-weighted batched linear solves), safe-set point
+    selection, the convex-hull terminal QP, the dynamics substeps, AND the
+    reference's ``add_point`` append (base.py:624-629) — the current lap's
+    states are written into lap iter-1's array at ``counter + k + 1`` with
+    s shifted by one lap length, which is what lets the selection window
+    run past the lap boundary.  This kills the per-step Python->IPOPT
+    boundary of the reference's LMPC loop (base.py:456-501) the same way
+    rollout_mpc_tracking does for MPC-LTI.
+
+    The appended inputs are NOT written back (host add_point stores them,
+    but nothing reads them: the regression's validity mask is fixed at lap
+    start, base.py:592-599).
+
+    Stops learning updates once s crosses the lap length (``done``); the
+    scan runs the fixed n_steps regardless.  Returns (xcurv_traj
+    (n_steps+1, X), u_traj (n_steps, U), done (n_steps,) bool, lap_steps).
+    """
+    N = lmpc_param.num_horizon
+    K_per = lmpc_param.num_ss_points // lmpc_param.num_ss_iter
+    dtype = xcurv0.dtype
+    L = track.lap_length.astype(dtype)
+    W = track.width.astype(dtype)
+    P = ss_prev.shape[0]
+    n_u = N * U_DIM
+    K = lmpc_param.num_ss_points
+
+    ss_data_2 = ss_prev2
+    u_data = jnp.stack([u_prev2_lap, u_prev_lap])
+    valid = jnp.stack([valid_prev2, valid_prev])
+
+    z_warm0 = jnp.zeros(n_u + K, dtype).at[n_u:].set(1.0 / K)
+
+    def step(carry, k):
+        xcurv, xglob, ss1, lin_points, lin_input, u_prev, z_warm, done = carry
+        x = xcurv.at[4].set(jnp.mod(xcurv[4], L))
+
+        curvs = track_ops.curvature_batch(track, jnp.mod(lin_points[:N, 4], L))
+        A_tv, B_tv, C_tv = lmpc_learning.estimate_abc_horizon(
+            lin_points[:N],
+            lin_input[:N],
+            jnp.stack([ss_data_2, ss1]),
+            u_data,
+            valid,
+            curvs,
+            jnp.asarray(control_dt, dtype),
+        )
+        pts1, q1 = lmpc_learning.select_points(
+            ss1, qfun_prev, x, K_per, lmpc_param.shift
+        )
+        pts2, q2 = lmpc_learning.select_points(
+            ss_prev2, qfun_prev2, x, K_per, lmpc_param.shift
+        )
+        ss_points = jnp.concatenate([pts1, pts2], axis=1)
+        qfun_sel = jnp.concatenate([q1, q2])
+
+        U, X, sol = controllers.lmpc(
+            x,
+            lmpc_param,
+            A_tv,
+            B_tv,
+            C_tv,
+            ss_points,
+            qfun_sel,
+            u_prev,
+            sys_param,
+            L,
+            W,
+            z_warm=z_warm,
+            num_horizon=N,
+        )
+        u = U[0]
+
+        xglob_next, xcurv_next = dynamics.propagate(
+            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+        )
+        done_next = done | (xcurv_next[4] >= L)
+
+        # add_point (base.py:624-629): append this step onto lap iter-1
+        idx = jnp.clip(counter + k + 1, 0, P - 1)
+        appended = x + jnp.zeros(X_DIM, dtype).at[4].set(L)
+        ss1_next = jnp.where(done, ss1, ss1.at[idx].set(appended))
+
+        lin_points_next = jnp.concatenate([X[1:], X[-1:]], axis=0)
+        lin_input_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        z_warm_next = jnp.concatenate([U[1:].reshape(-1), U[-1], sol.z[n_u:]])
+
+        frozen = lambda new, old: jnp.where(done, old, new)
+        carry_next = (
+            frozen(xcurv_next, xcurv),
+            frozen(xglob_next, xglob),
+            ss1_next,
+            frozen(lin_points_next, lin_points),
+            frozen(lin_input_next, lin_input),
+            frozen(u, u_prev),
+            frozen(z_warm_next, z_warm),
+            done_next,
+        )
+        return carry_next, (xcurv, u, done)
+
+    init = (
+        xcurv0,
+        xglob0,
+        ss_prev,
+        lin_points0,
+        lin_input0,
+        jnp.zeros(U_DIM, dtype),
+        z_warm0,
+        jnp.asarray(False),
+    )
+    (xcurv_T, _, _, _, _, _, _, _), (xcurvs, us, dones) = jax.lax.scan(
+        step, init, jnp.arange(n_steps)
+    )
+    xcurvs = jnp.concatenate([xcurvs, xcurv_T[None]], axis=0)
+    lap_steps = jnp.sum(~dones)
+    return xcurvs, us, dones, lap_steps
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))

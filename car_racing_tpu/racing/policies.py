@@ -216,51 +216,8 @@ CBF_ITERS_COLD = 40
 CBF_ITERS_WARM = 20
 
 
-def _stage_shift(a, axis=0):
-    """Shift one stage forward along ``axis``, repeating the final stage."""
-    a = np.asarray(a)
-    idx = np.concatenate([np.arange(1, a.shape[axis]), [a.shape[axis] - 1]])
-    return np.take(a, idx, axis=axis)
-
-
-def _shift_cbf_warm(sol, N, n_obs):
-    """Shift a CBF-problem primal-DUAL iterate one control period forward
-    (repeat the last stage), matching the reference's warm-start-from-
-    previous-solution at control.py:702-707.
-
-    Primal z = [U (N*U_DIM); slack (n_obs*(N+1))].  The multipliers/slacks
-    follow _cbf_nlp's inequality row layout: u-box lo/hi (2 x N x U_DIM),
-    vx lo/hi + ey lo/hi (4 x N), slack>=0 (n_obs x (N+1)), CBF (n_obs x N).
-    Shifting the duals too is what makes warm starting work: lam re-init
-    (0.1/s) sits ~5 orders of magnitude below the 1e4-scale slack-penalty
-    multipliers and the solve stalls (measured; see ipm.solve_qp_nl).
-    """
-    n_u = N * U_DIM
-
-    def shift_all(vec):
-        vec = np.asarray(vec)
-        parts = []
-        o = 0
-        for shape, axis in (
-            ((N, U_DIM), 0),  # u lower
-            ((N, U_DIM), 0),  # u upper
-            ((N,), 0),  # vx upper
-            ((N,), 0),  # vx lower
-            ((N,), 0),  # ey upper
-            ((N,), 0),  # ey lower
-            ((n_obs, N + 1), 1),  # slack >= 0
-            ((n_obs, N), 1),  # CBF rows
-        ):
-            sz = int(np.prod(shape))
-            parts.append(_stage_shift(vec[o : o + sz].reshape(shape), axis).reshape(-1))
-            o += sz
-        assert o == vec.size
-        return np.concatenate(parts)
-
-    u_shift = _stage_shift(np.asarray(sol.z[:n_u]).reshape(N, U_DIM)).reshape(-1)
-    sl_shift = _stage_shift(np.asarray(sol.z[n_u:]).reshape(n_obs, N + 1), axis=1).reshape(-1)
-    z = jnp.asarray(np.concatenate([u_shift, sl_shift]))
-    return (z, jnp.asarray(shift_all(sol.lam)), jnp.asarray(shift_all(sol.s)))
+# (z, lam, s) stage-shift shared with the fused on-device rollouts
+_shift_cbf_warm = controllers.shift_cbf_warm
 
 
 class MPCCBFRacing(ControlBase):

@@ -50,6 +50,46 @@ def test_fused_rollout_matches_host_loop():
     np.testing.assert_allclose(xcurvs[1 : m + 1, 5], host_traj[:m, 5], atol=2e-2)
 
 
+def test_fused_mpccbf_rollout_avoids_obstacles():
+    """Fused on-device MPC-CBF closed loop: prescribed traffic, warm-started
+    CBF solves inside one lax.scan — no collision, stays on track, converges."""
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    cbf_param = params.MPCCBFParam.default(vt=0.8)
+    sysp = params.SystemParam.default()
+    bike = dynamics.BicycleParams.default()
+    n_obs = 4
+    s_coef = np.zeros((n_obs, 2))
+    ey_coef = np.zeros((n_obs, 2))
+    act = np.zeros(n_obs, bool)
+    s_coef[0], ey_coef[0], act[0] = [0.2, 4.0], [0.0, 0.1], True
+    s_coef[1], ey_coef[1], act[1] = [0.2, 10.0], [0.0, -0.1], True
+    halfs = np.ones((n_obs, 2))
+    halfs[:2] = [0.2, 0.1]
+    n_steps = 150
+    xc, us, kkt = fused.rollout_mpccbf(
+        track, bike, cbf_param, sysp, jnp.asarray([0.8, 0, 0, 0, 0, 0.0]),
+        jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        jnp.asarray(s_coef), jnp.asarray(ey_coef), jnp.asarray(act),
+        jnp.asarray(halfs), jnp.asarray([0.2, 0.1]), n_steps=n_steps,
+    )
+    xc = np.asarray(xc)
+    assert np.isfinite(xc).all()
+    assert np.abs(xc[:, 5]).max() < 1.0  # on track
+    L = float(track.lap_length)
+    t = np.arange(len(xc)) * 0.1
+    for cs, ce in ((s_coef[0], ey_coef[0]), (s_coef[1], ey_coef[1])):
+        ds = np.abs(np.mod(xc[:, 4] - np.polyval(cs, t) + L / 2, L) - L / 2)
+        dey = np.abs(xc[:, 5] - np.polyval(ce, t))
+        assert not ((ds < 0.85 * 0.4) & (dey < 0.85 * 0.2)).any()
+    # warm-started solves stay converged (same gate as tests/test_mpccbf.py)
+    assert np.percentile(np.asarray(kkt), 50) < 1e-3
+    # input bounds respected
+    us = np.asarray(us)
+    assert np.abs(us[:, 0]).max() <= 0.5 + 1e-6
+    assert np.abs(us[:, 1]).max() <= 1.0 + 1e-6
+
+
 def test_fused_batch_rollout():
     spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
     track = track_ops.build_track(spec, width=0.8)

@@ -136,6 +136,55 @@ def test_overtake_lap_no_collision(game_result):
         assert not overlap.any(), f"collision with car{i+1} at t={t3[overlap][0] if overlap.any() else None}"
 
 
+def test_fused_lmpc_lap_learns(game_result):
+    """The fused on-device LMPC lap (racing/fused.rollout_lmpc_lap), seeded
+    with the host protocol's first two laps, must complete a lap faster than
+    the PID lap — the same learning effect as the host loop, with zero
+    per-step host round-trips."""
+    import jax.numpy as jnp
+
+    from car_racing_tpu.ops import dynamics
+    from car_racing_tpu.racing import fused
+
+    sim, track, lmpc, ego = game_result
+    P = 700
+    ss1 = lmpc.ss_xcurv[:P, :, 1]
+    ss2 = lmpc.ss_xcurv[:P, :, 0]
+    u1 = lmpc.u_ss[:P, :, 1]
+    u2 = lmpc.u_ss[:P, :, 0]
+    q1 = lmpc.Qfun[:P, 1]
+    q2 = lmpc.Qfun[:P, 0]
+    v1 = np.zeros(P, bool)
+    v1[: max(lmpc.time_ss[1] - 1, 0)] = True
+    v2 = np.zeros(P, bool)
+    v2[: max(lmpc.time_ss[0] - 1, 0)] = True
+    N = lmpc.lmpc_param.num_horizon
+    # initial linearization trajectory exactly as the host protocol seeds it
+    # at the first add_trajectory (policies.py add_trajectory, iter == 0)
+    lin_points0 = lmpc.ss_xcurv[1 : N + 2, :, 0]
+    lin_input0 = lmpc.u_ss[1 : N + 1, :, 0]
+    xc0 = lmpc.ss_xcurv[0, :, 2]  # lap-2 start state
+    xg0 = lmpc.ss_glob[0, :, 2]
+
+    xc, us, dones, lap_steps = fused.rollout_lmpc_lap(
+        track, dynamics.BicycleParams.default(), lmpc.lmpc_param,
+        params.SystemParam.default(),
+        jnp.asarray(xc0), jnp.asarray(xg0),
+        jnp.asarray(ss1), jnp.asarray(q1), jnp.asarray(ss2), jnp.asarray(q2),
+        jnp.asarray(u1), jnp.asarray(u2), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(int(lmpc.time_ss[1]), jnp.int32),
+        jnp.asarray(lin_points0), jnp.asarray(lin_input0),
+        n_steps=300,
+    )
+    lap_steps = int(lap_steps)
+    xc = np.asarray(xc)
+    assert 0 < lap_steps < 300, "fused lap never completed"
+    assert np.isfinite(xc[:lap_steps]).all()
+    assert np.abs(xc[:lap_steps, 5]).max() < 1.0
+    # learning: the fused LMPC lap beats the PID lap it learned from
+    assert lap_steps < lmpc.time_ss[0], (lap_steps, lmpc.time_ss[0])
+
+
 def test_planner_artifacts_recorded(game_result):
     """During overtakes the planner must log trajectories/splines; during
     plain LMPC steps the rows are None (reference artifact protocol)."""
