@@ -1,17 +1,27 @@
-"""Benchmark: per-control-step MPC solve latency on the attached TPU.
+"""Benchmark: the BASELINE.md metric set on the attached TPU.
 
-Measures the framework's deployment hot path: the FUSED on-device closed
-loop (``racing/fused.py`` — condensed-QP interior-point solve + 100 Euler
-dynamics substeps per control step, all inside one ``lax.scan``), which is
-how the TPU-native design eliminates the reference's per-step Python->IPOPT
-boundary crossing (offboard.py:124-127).  Per-step latency = device time of
-an n-step rollout / n; p99 across repeated rollouts.
+Emits ONE JSON line per metric ({"metric", "value", "unit", "vs_baseline"})
+and mirrors the full list to BENCH_LOCAL.json.  All latency metrics are
+device time of fused scans divided by step count (per-call host timing
+through the TPU tunnel measures dispatch, not the solver — see
+.claude/skills/verify/SKILL.md), p50/p99 across repeated rollouts from
+randomized initial states.  ``vs_baseline`` = target/actual for latencies
+(>= 1 means target met) and actual/target for throughputs.
+
+Metrics (BASELINE.md: MPC solve latency p50/p99 and solver iters/s):
+- mpc_step_latency_p99_fused    — fused MPC-LTI closed loop (racing/fused.py)
+- mpccbf_step_latency_p99_fused — fused MPC-CBF loop with warm-started
+  nonconvex CBF solves (the reference's ~2 ms/step IPOPT hot path)
+- lmpc_step_latency_p99_fused   — fused LMPC learning-lap step: local
+  regression + safe-set selection + convex-hull terminal QP + dynamics
+- branch_sweep_256_latency_p99  — 256-branch racing-game sweep (build +
+  batched IPM + best-branch selection), parallel/scaling.measure_sweep
+- qp_newton_iters_per_s         — Newton iterations/s through the batched
+  QP IPM (real per-problem convergence counts from solve_qp_batch)
 
 The reference publishes no numbers (BASELINE.md); the north-star target is
-p99 < 10 ms per control-step NLP solve on TPU (BASELINE.json).
-``vs_baseline`` = target / actual: >= 1.0 means target met, higher better.
-
-Prints ONE JSON line.
+p99 < 10 ms per control-step NLP solve on TPU, i.e. >= 25600 branch
+solves/s for the 256-branch sweep (BASELINE.json).
 """
 
 import json
@@ -24,57 +34,163 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.chdir(os.path.dirname(os.path.abspath(__file__)))
 
+LATENCY_TARGET_MS = 10.0
+SWEEP_SOLVES_TARGET = 256 / (LATENCY_TARGET_MS * 1e-3)  # 256 branches in 10 ms
+ITERS_TARGET = 1e5  # 10 ms/step, <=40 iters/solve -> 4k iters/s baseline floor x25
+
+
+def _timed(fn, reps, block):
+    out = fn()
+    block(out)  # warm-up/compile
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        block(fn())
+        samples.append(time.perf_counter() - t0)
+    return np.asarray(samples)
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from car_racing_tpu.ops import dynamics, track as track_ops
+    from car_racing_tpu.ops import dynamics, ipm, track as track_ops
+    from car_racing_tpu.parallel import mesh as mesh_mod, scaling
     from car_racing_tpu.racing import fused
     from car_racing_tpu.utils import params
+    from car_racing_tpu.utils.constants import U_DIM, X_DIM
 
     dtype = jnp.float32
-    track = track_ops.load_track("l_shape", width=0.8)
-    track = jax.tree.map(lambda x: jnp.asarray(x, dtype), track)
-    bike = jax.tree.map(lambda x: jnp.asarray(x, dtype), dynamics.BicycleParams.default())
-    mpc_param = params.MPCParam.default(vt=0.8)
-    mpc_param = jax.tree.map(lambda x: jnp.asarray(x, dtype), mpc_param)
-    sysp = jax.tree.map(lambda x: jnp.asarray(x, dtype), params.SystemParam.default())
-    xtarget = jnp.asarray(np.array([0.8, 0, 0, 0, 0, 0]), dtype)
-
-    n_steps = 100
-    run = lambda xc0: fused.rollout_mpc_tracking(
-        track, bike, mpc_param, sysp, xtarget,
-        xc0, jnp.zeros(6, dtype), n_steps=n_steps,
-    )
-
-    # warm-up / compile
-    out = run(jnp.zeros(6, dtype))
-    jax.block_until_ready(out)
-
+    cast = lambda tree: jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
+    block = jax.block_until_ready
     rng = np.random.default_rng(0)
-    reps = 30
-    per_step_ms = []
-    for r in range(reps):
+    results = []
+
+    def emit(metric, value, unit, vs_baseline):
+        row = {
+            "metric": metric,
+            "value": round(float(value), 4),
+            "unit": unit,
+            "vs_baseline": round(float(vs_baseline), 4),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    track = cast(track_ops.load_track("l_shape", width=0.8))
+    track_wide = cast(track_ops.load_track("l_shape", width=1.0))
+    bike = cast(dynamics.BicycleParams.default())
+    sysp = cast(params.SystemParam.default())
+
+    # ---- 1. fused MPC-LTI closed loop --------------------------------------
+    mpc_param = cast(params.MPCParam.default(vt=0.8))
+    xtarget = jnp.asarray([0.8, 0, 0, 0, 0, 0], dtype)
+    n_steps = 100
+
+    def run_lti():
         xc0 = jnp.asarray(
-            np.array([0.1, 0, 0, 0, 0, 0]) + 0.05 * rng.standard_normal(6), dtype
+            np.array([0.1, 0, 0, 0, 0, 0]) + 0.05 * rng.standard_normal(X_DIM), dtype
         )
-        t0 = time.perf_counter()
-        out = run(xc0)
-        jax.block_until_ready(out)
-        per_step_ms.append((time.perf_counter() - t0) * 1e3 / n_steps)
-    per_step_ms = np.asarray(per_step_ms)
-    p99 = float(np.percentile(per_step_ms, 99))
-    print(
-        json.dumps(
-            {
-                "metric": "mpc_step_latency_p99_fused",
-                "value": round(p99, 4),
-                "unit": "ms",
-                "vs_baseline": round(10.0 / p99, 4),
-            }
+        return fused.rollout_mpc_tracking(
+            track, bike, mpc_param, sysp, xtarget, xc0, jnp.zeros(X_DIM, dtype),
+            n_steps=n_steps,
+        )
+
+    s = _timed(run_lti, reps=30, block=block) * 1e3 / n_steps
+    emit("mpc_step_latency_p50_fused", np.percentile(s, 50), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 50))
+    emit("mpc_step_latency_p99_fused", np.percentile(s, 99), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 99))
+
+    # ---- 2. fused MPC-CBF closed loop (warm-started nonconvex hot path) ----
+    cbf_param = cast(params.MPCCBFParam.default(vt=0.8))
+    n_obs = 4
+    s_coef = np.zeros((n_obs, 2))
+    ey_coef = np.zeros((n_obs, 2))
+    act = np.zeros(n_obs, bool)
+    s_coef[0], ey_coef[0], act[0] = [0.2, 4.0], [0.0, 0.1], True
+    s_coef[1], ey_coef[1], act[1] = [0.2, 10.0], [0.0, -0.1], True
+    halfs = np.ones((n_obs, 2))
+    halfs[:2] = [0.2, 0.1]
+    cbf_steps, warm_iters = 100, 20
+
+    def run_cbf():
+        xc0 = jnp.asarray(
+            np.array([0.3, 0, 0, 0, 0, 0]) + 0.02 * rng.standard_normal(X_DIM), dtype
+        )
+        return fused.rollout_mpccbf(
+            track_wide, bike, cbf_param, sysp, xtarget, xc0,
+            jnp.zeros(X_DIM, dtype), jnp.asarray(s_coef, dtype),
+            jnp.asarray(ey_coef, dtype), jnp.asarray(act),
+            jnp.asarray(halfs, dtype), jnp.asarray([0.2, 0.1], dtype),
+            n_steps=cbf_steps, warm_iters=warm_iters,
+        )
+
+    s = _timed(run_cbf, reps=20, block=block) * 1e3 / cbf_steps
+    emit("mpccbf_step_latency_p50_fused", np.percentile(s, 50), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 50))
+    emit("mpccbf_step_latency_p99_fused", np.percentile(s, 99), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 99))
+
+    # ---- 3. fused LMPC learning-lap step -----------------------------------
+    from car_racing_tpu.utils.bench_fixtures import FIXTURE_PATH
+
+    seed = np.load(FIXTURE_PATH)
+    lmpc_param = cast(params.LMPCParam.default())
+    lmpc_steps = 250
+    j = lambda k: jnp.asarray(seed[k], dtype)
+
+    def run_lmpc():
+        xc0 = j("xcurv0") + jnp.asarray(
+            0.01 * rng.standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]), dtype
+        )
+        return fused.rollout_lmpc_lap(
+            track_wide, bike, lmpc_param, sysp, xc0, j("xglob0"),
+            j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+            jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+            jnp.asarray(seed["counter"], jnp.int32),
+            j("lin_points0"), j("lin_input0"), n_steps=lmpc_steps,
+        )
+
+    out = run_lmpc()
+    block(out)
+    lap_steps = int(out[3])
+    assert 0 < lap_steps < lmpc_steps, f"fused LMPC lap did not complete ({lap_steps})"
+    s = _timed(run_lmpc, reps=10, block=block) * 1e3 / lmpc_steps
+    emit("lmpc_step_latency_p50_fused", np.percentile(s, 50), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 50))
+    emit("lmpc_step_latency_p99_fused", np.percentile(s, 99), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 99))
+    emit("lmpc_fused_lap_time", lap_steps * 0.1, "s",
+         float(seed["pid_lap_steps"]) / lap_steps)  # speedup over the PID seed lap
+
+    # ---- 4. 256-branch racing-game sweep ------------------------------------
+    sweep = scaling.measure_sweep(n_devices=1, branches=256, horizon=10, reps=20)
+    emit("branch_sweep_256_latency", sweep["sweep_latency_ms"], "ms",
+         LATENCY_TARGET_MS / sweep["sweep_latency_ms"])
+    emit("branch_solves_per_s", sweep["branch_solves_per_s"], "1/s",
+         sweep["branch_solves_per_s"] / SWEEP_SOLVES_TARGET)
+
+    # ---- 5. solver Newton iterations/s (real per-problem counts) -----------
+    B, N = 256, 10
+    x0, s_refs, ey_refs, A, B_lti = scaling.sweep_inputs(1, B, N, seed=1, dtype=dtype)
+    Q = jnp.eye(X_DIM, dtype=dtype)
+    R = jnp.eye(U_DIM, dtype=dtype)
+    build = jax.vmap(
+        lambda sr, er: mesh_mod._branch_tracking_qp_build(
+            A, B_lti, N, Q, R, x0[0], sr, er, jnp.asarray(0.8, dtype), dtype
         )
     )
+    qp_batch = build(s_refs[0], ey_refs[0])
+    z0 = jnp.zeros((B, N * U_DIM), dtype)
+    solve = jax.jit(lambda qp: ipm.solve_qp_batch(qp, z0, iters=20))
+    sol = block(solve(qp_batch))
+    total_iters = int(np.sum(np.asarray(sol.iterations)))
+    t = _timed(lambda: solve(qp_batch), reps=20, block=block)
+    iters_per_s = total_iters / float(np.percentile(t, 50))
+    emit("qp_newton_iters_per_s", iters_per_s, "1/s", iters_per_s / ITERS_TARGET)
+
+    with open("BENCH_LOCAL.json", "w") as fh:
+        json.dump(results, fh, indent=1)
 
 
 if __name__ == "__main__":

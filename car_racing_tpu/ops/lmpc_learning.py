@@ -92,11 +92,20 @@ def _kernel_weights(data_zu: jax.Array, valid: jax.Array, x_lin: jax.Array, max_
     return idx, w
 
 
-def _weighted_fit(Z: jax.Array, w: jax.Array, y: jax.Array, ridge: float = 1e-9):
+def _weighted_fit(Z: jax.Array, w: jax.Array, y: jax.Array):
     """argmin_beta sum_i w_i (Z_i . beta - y_i)^2 via normal equations —
-    the closed form of the reference's unconstrained cvxopt QP."""
+    the closed form of the reference's unconstrained cvxopt QP.
+
+    The ridge is *relative* to the Gram matrix's scale and dtype-aware:
+    on steady-state lap segments the nearest-neighbor rows are nearly
+    identical, so the Gram matrix is numerically rank-1 — a fixed 1e-9
+    ridge sits below f32 resolution at that scale and the solve NaNs
+    (observed in the fused f32 LMPC lap at corner-entry stages)."""
     M = jnp.concatenate([Z, jnp.ones((Z.shape[0], 1), Z.dtype)], axis=1)
-    Q = (M.T * w) @ M + ridge * jnp.eye(M.shape[1], dtype=Z.dtype)
+    Q = (M.T * w) @ M
+    eps = 1e-10 if Z.dtype == jnp.float64 else 2e-5
+    scale = jnp.trace(Q) / Q.shape[0] + 1.0
+    Q = Q + (eps * scale) * jnp.eye(M.shape[1], dtype=Z.dtype)
     b = (M.T * w) @ y
     return jnp.linalg.solve(Q, b)
 

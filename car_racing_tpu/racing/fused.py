@@ -21,11 +21,13 @@ import jax.numpy as jnp
 
 from ..models import controllers
 from ..ops import dynamics, ipm, lmpc_learning, ocp, track as track_ops
+from ..ops.ipm import _highp
 from ..utils.constants import U_DIM, X_DIM
 from ..utils.params import LMPCParam, MPCCBFParam, MPCParam, SystemParam
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+@_highp
 def rollout_mpc_tracking(
     track: track_ops.Track,
     bike_params: dynamics.BicycleParams,
@@ -77,6 +79,7 @@ def rollout_mpc_tracking(
     jax.jit,
     static_argnames=("n_steps", "control_dt", "sub_dt", "cold_iters", "warm_iters"),
 )
+@_highp
 def rollout_mpccbf(
     track: track_ops.Track,
     bike_params: dynamics.BicycleParams,
@@ -174,6 +177,7 @@ def rollout_mpccbf(
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+@_highp
 def rollout_lmpc_lap(
     track: track_ops.Track,
     bike_params: dynamics.BicycleParams,
@@ -317,6 +321,7 @@ def rollout_lmpc_lap(
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+@_highp
 def rollout_mpc_tracking_batch(
     track, bike_params, mpc_param, sys_param, xtarget, xcurv0_batch, xglob0_batch,
     n_steps: int = 100, control_dt: float = 0.1, sub_dt: float = 0.001,
