@@ -15,7 +15,14 @@ from ..ops import track as track_ops
 from ..racing import policies
 from ..utils import params
 from . import bus as bus_mod
-from .nodes import ControllerNode, SimulatorNode, VehicleNode, VisualizationNode
+from .nodes import (
+    CBFControllerNode,
+    ControllerNode,
+    SimulatorNode,
+    StagedControllerNode,
+    VehicleNode,
+    VisualizationNode,
+)
 
 
 def run(args):
@@ -38,14 +45,28 @@ def run(args):
         sim.register("ego")
         nodes.append(sim)
         nodes.append(VehicleNode("ego", track, port=args["port"]).start())
+        # controller modes mirror the reference's realtime controller
+        # (realtime/controller.py:25-73): pid | mpc-lti | mpc-cbf | lmpc
         if args["ctrl_policy"] == "pid":
-            policy = policies.PIDTracking(vt=0.6)
+            ctrl = ControllerNode(
+                "ego", track, policy=policies.PIDTracking(vt=0.6), port=args["port"]
+            )
         elif args["ctrl_policy"] == "mpc-lti":
-            policy = policies.MPCTracking(params.MPCParam.default(vt=0.6))
+            ctrl = ControllerNode(
+                "ego", track,
+                policy=policies.MPCTracking(params.MPCParam.default(vt=0.6)),
+                port=args["port"],
+            )
+        elif args["ctrl_policy"] == "mpc-cbf":
+            ctrl = CBFControllerNode("ego", track, port=args["port"], vt=0.6)
+        elif args["ctrl_policy"] == "lmpc":
+            ctrl = StagedControllerNode("ego", track, port=args["port"], vt=0.6)
         else:
             raise ValueError(args["ctrl_policy"])
-        nodes.append(ControllerNode("ego", track, policy=policy, port=args["port"]).start())
-        viz = VisualizationNode(port=args["port"]).start()
+        nodes.append(ctrl.start())
+        viz = VisualizationNode(
+            port=args["port"], render_dir=args.get("render_dir"), track=track
+        ).start()
         nodes.append(viz)
         t0 = time.time()
         while time.time() - t0 < args["duration"]:
@@ -69,6 +90,8 @@ def main():
     parser.add_argument("--duration", type=float, default=10.0)
     parser.add_argument("--port", type=int, default=9123)
     parser.add_argument("--platform", type=str, default="cpu")
+    parser.add_argument("--render-dir", type=str, default=None,
+                        help="render live frames (PNG per tick) into this directory")
     run(vars(parser.parse_args()))
 
 

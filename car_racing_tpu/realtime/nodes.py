@@ -10,9 +10,18 @@ the mixins in racing/realtime.py) on the C++ broker:
   dynamic bicycle model from the last received input.
 - :class:`ControllerNode`  (realtime/controller.py:13-205, 10 Hz) runs a
   tracking policy on the latest simulator state and publishes the input.
+- :class:`CBFControllerNode` — the reference's realtime mpc-cbf mode
+  (realtime/controller.py:31-36,165-185): obstacle states arrive over the
+  bus (vehicle_list discovery) and feed constant-velocity predictions into
+  the MPC-CBF policy.
+- :class:`StagedControllerNode` — the full staged lap protocol of the
+  reference's lmpc mode, PID lap -> MPC-LTI lap -> LMPC learning laps
+  (realtime/controller.py:111-197).  The reference's own LMPC stage is
+  broken (its add_trajectory call signature never matched, SURVEY §7);
+  here the node feeds its recorded lap logs into the learning policy.
 - :class:`VisualizationNode` (realtime/visualization.py:14-30) collects
-  states and renders frames headlessly; flags vehicles whose state stops
-  updating (realtime.py:118-127).
+  states, optionally renders frames headlessly (set ``render_dir``), and
+  flags vehicles whose state stops updating (realtime.py:118-127).
 
 Topics (mirroring the reference's, realtime.py:58,101,232,354):
 ``track_info``, ``vehicle_list``, ``<veh>/state``, ``simulator/<veh>/state``,
@@ -166,13 +175,23 @@ class ControllerNode(Node):
 
 
 class VisualizationNode(Node):
-    """Collects states; flags stale vehicles (realtime.py:118-127)."""
+    """Collects states, flags stale vehicles (realtime.py:118-127), and —
+    when ``render_dir`` is set — renders live frames headlessly: track +
+    per-vehicle patches, the FuncAnimation view of the reference
+    (realtime/visualization.py:14-30, realtime.py:505-529) without a
+    display server."""
 
-    def __init__(self, port: int = 9123, rate_hz: float = 10.0, stale_after: float = 1.0):
+    def __init__(self, port: int = 9123, rate_hz: float = 10.0, stale_after: float = 1.0,
+                 render_dir: str | None = None, track=None):
         super().__init__(port, rate_hz)
         self.latest: dict[str, tuple[float, np.ndarray]] = {}
         self.stale: set[str] = set()
         self.stale_after = stale_after
+        self.render_dir = render_dir
+        self.track = track
+        self.frames_rendered = 0
+        self._fig = None
+        self._polys = {}
         self._lock = threading.Lock()
         self.bus.subscribe("vehicle_list", self._on_list)
         self._known: set[str] = set()
@@ -190,60 +209,251 @@ class VisualizationNode(Node):
         with self._lock:
             self.latest[name] = (time.monotonic(), state)
 
+    def _render(self, snapshot: dict[str, np.ndarray]):
+        import os
+
+        import matplotlib.patches as patches
+        import matplotlib.pyplot as plt
+
+        from ..racing import plotting
+
+        if self._fig is None:
+            self._fig, self._ax = plt.subplots()
+            if self.track is not None:
+                plotting.plot_track(self._ax, self.track, center_line=False)
+            self._ax.axis("equal")
+            os.makedirs(self.render_dir, exist_ok=True)
+        for name, state in snapshot.items():
+            if name not in self._polys:
+                fc = "red" if name == "ego" else "blue"
+                poly = patches.Polygon(np.zeros((4, 2)), closed=True, fc=fc, zorder=10)
+                self._ax.add_patch(poly)
+                self._polys[name] = poly
+            xglob = state[X_DIM:]
+            verts = plotting._vehicle_vertices(xglob[4], xglob[5], xglob[3], 0.2, 0.1)
+            self._polys[name].set_xy(verts)
+            # stale vehicles collapse to a point, like the reference zeroing
+            # the patch (realtime.py:118-127)
+            if name in self.stale:
+                self._polys[name].set_xy(np.zeros((4, 2)))
+        path = f"{self.render_dir}/frame_{self.frames_rendered:05d}.png"
+        self._fig.savefig(path, dpi=60)
+        self.frames_rendered += 1
+
     def tick(self):
         now = time.monotonic()
         with self._lock:
+            snapshot = {name: st for name, (t, st) in self.latest.items()}
             for name, (t, _) in self.latest.items():
                 if now - t > self.stale_after:
                     self.stale.add(name)
                 else:
                     self.stale.discard(name)
+        if self.render_dir and snapshot:
+            self._render(snapshot)
+
+    def stop(self):
+        super().stop()
+        if self._fig is not None:
+            import matplotlib.pyplot as plt
+
+            plt.close(self._fig)
 
 
-class StagedControllerNode(ControllerNode):
-    """Staged lap protocol: PID lap -> MPC-LTI lap -> LMPC
-    (reference realtime/controller.py:111-197).
+class _BusObstacleModel:
+    """Obstacle proxy for realtime CBF control: holds the latest state
+    received over the bus and forecasts by constant velocity — the realtime
+    analog of offboard's get_trajectory_nsteps (offboard.py:51-94)."""
 
-    Lap completion is detected from the simulator-republished state's s
-    wrapping; on each stage boundary the active policy is swapped.  (The
-    reference's realtime LMPC path calls add_trajectory with an incompatible
-    signature and is effectively unfinished — SURVEY §7; here the staged
-    node swaps PID -> MPC-LTI and records lap logs so a learning stage can
-    attach.)
-    """
+    def __init__(self, name: str, track):
+        self.name = name
+        self.track = track
+        self.param = params.CarParam.default()
+        self.xcurv = np.zeros(X_DIM)
+        self.xglob = np.zeros(X_DIM)
+
+    def update(self, state: np.ndarray):
+        self.xcurv = np.asarray(state[:X_DIM])
+        self.xglob = np.asarray(state[X_DIM:])
+
+    def get_trajectory_nsteps(self, time_now, timestep, n):
+        from ..ops import dynamics
+
+        import jax.numpy as jnp
+
+        xc, xg = dynamics.const_velocity_prediction(
+            self.track, jnp.asarray(self.xcurv), jnp.asarray(self.xglob), timestep, n
+        )
+        return np.asarray(xc).T, np.asarray(xg).T
+
+
+class _VehiclesView:
+    """Minimal racing_sim adapter for policies running inside realtime
+    nodes: exposes just the ``vehicles`` dict the policies read."""
+
+    def __init__(self, vehicles: dict):
+        self.vehicles = vehicles
+
+
+class CBFControllerNode(ControllerNode):
+    """Realtime MPC-CBF controller (reference realtime/controller.py:31-36):
+    avoids every other vehicle announced on ``vehicle_list``, forecasting
+    them by constant velocity from their latest bus states."""
 
     def __init__(self, name: str, track, port: int = 9123, rate_hz: float = 10.0,
                  vt: float = 0.6):
-        pid = policies.PIDTracking(vt=vt)
-        super().__init__(name, track, policy=pid, port=port, rate_hz=rate_hz)
+        policy = policies.MPCCBFRacing(
+            params.MPCCBFParam.default(vt=vt), params.SystemParam.default()
+        )
+        super().__init__(name, track, policy=policy, port=port, rate_hz=rate_hz)
         self._track = track
-        self._vt = vt
-        self.stage = 0  # 0 = PID, 1 = MPC-LTI
-        self._last_s = None
-        self.laps_done = 0
-        self.lap_log: list[np.ndarray] = []
-        self.lap_logs: list[list[np.ndarray]] = []
+        self._ego_model = veh_mod.DynamicBicycleModel(
+            name=name, system_param=params.SystemParam.default()
+        )
+        self._ego_model.set_track(track)
+        self._vehicles: dict[str, object] = {name: self._ego_model}
+        self.policy.set_racing_sim(_VehiclesView(self._vehicles))
+        self.bus.subscribe("vehicle_list", self._on_list)
+
+    def _on_list(self, payload: bytes):
+        for other in payload.decode().split("\x00"):
+            if other and other != self.name and other not in self._vehicles:
+                model = _BusObstacleModel(other, self._track)
+                self._vehicles[other] = model
+                self.bus.subscribe_array(
+                    f"simulator/{other}/state",
+                    lambda s, model=model: model.update(s),
+                )
 
     def tick(self):
         with self._lock:
             state = self._state
         if state is None:
             return
-        s = float(state[4]) % float(self._track.lap_length)
-        if self._last_s is not None and s < self._last_s - 0.5 * float(self._track.lap_length):
-            # lap completed
-            self.laps_done += 1
-            self.lap_logs.append(self.lap_log)
-            self.lap_log = []
-            if self.laps_done == 1 and self.stage == 0:
-                mpc = policies.MPCTracking(params.MPCParam.default(vt=self._vt))
-                mpc.set_timestep(1.0 / self.rate_hz)
-                mpc.set_track(self._track)
-                mpc.agent_name = self.name
-                self.policy = mpc
-                self.stage = 1
-        self._last_s = s
-        self.lap_log.append(np.array(state))
+        self._ego_model.xcurv = np.asarray(state[:X_DIM])
+        self._ego_model.xglob = np.asarray(state[X_DIM:])
         self.policy.set_state(state[:X_DIM], state[X_DIM:])
         self.policy.calc_input()
         self.bus.publish_array(f"{self.name}/input", self.policy.get_input())
+
+
+class _LapLogEgo:
+    """Lap-structured log shim with the slice of the ModelBase API that
+    LMPCRacingGame.add_trajectory reads (times/xcurvs/xglobs/inputs per
+    lap + timestep) — lets the realtime node feed its recorded laps into
+    the learning policy exactly like the offboard protocol does."""
+
+    def __init__(self, timestep: float):
+        self.timestep = timestep
+        self.times: list[list[float]] = []
+        self.xcurvs: list[list[np.ndarray]] = []
+        self.xglobs: list[list[np.ndarray]] = []
+        self.inputs: list[list[np.ndarray]] = []
+
+    def add_lap(self, states: list[np.ndarray], inputs: list[np.ndarray]):
+        n = len(states)
+        self.times.append([i * self.timestep for i in range(n)])
+        self.xcurvs.append([s[:X_DIM] for s in states])
+        self.xglobs.append([s[X_DIM:] for s in states])
+        self.inputs.append(list(inputs[: n - 1]))
+
+
+class StagedControllerNode(ControllerNode):
+    """Staged lap protocol: PID lap -> MPC-LTI lap -> LMPC learning laps
+    (reference realtime/controller.py:111-197).
+
+    Lap completion is detected from the simulator-republished state's s
+    wrapping; on each stage boundary the active policy is swapped.  The
+    reference's own realtime LMPC stage never worked — it calls
+    add_trajectory with a 6-argument signature the 2-argument method can't
+    accept (realtime/controller.py:121-128 vs base.py:631) — so this node
+    *exceeds* the reference: the recorded lap logs (states + inputs, s made
+    lap-local) seed the learning policy's safe set, and every further lap
+    is added as it completes.
+    """
+
+    def __init__(self, name: str, track, port: int = 9123, rate_hz: float = 10.0,
+                 vt: float = 0.6, lap_number: int = 10,
+                 opti_traj_xcurv: np.ndarray | None = None,
+                 opti_traj_xglob: np.ndarray | None = None):
+        pid = policies.PIDTracking(vt=vt)
+        super().__init__(name, track, policy=pid, port=port, rate_hz=rate_hz)
+        self._track = track
+        self._vt = vt
+        self.stage = 0  # 0 = PID, 1 = MPC-LTI, 2 = LMPC
+        self._last_s = None
+        self.laps_done = 0
+        self.lap_log: list[np.ndarray] = []
+        self.lap_input_log: list[np.ndarray] = []
+        self.lap_logs: list[list[np.ndarray]] = []
+        self._lap_number = lap_number
+        self._log_ego = _LapLogEgo(1.0 / rate_hz)
+        self._opti_traj_xcurv = opti_traj_xcurv
+        self._opti_traj_xglob = opti_traj_xglob
+        self.lmpc: policies.LMPCRacingGame | None = None
+
+    def _close_lap(self):
+        self.laps_done += 1
+        self.lap_logs.append(self.lap_log)
+        self._log_ego.add_lap(self.lap_log, self.lap_input_log)
+        self.lap_log, self.lap_input_log = [], []
+        dt = 1.0 / self.rate_hz
+        if self.stage == 0:
+            mpc = policies.MPCTracking(params.MPCParam.default(vt=self._vt))
+            mpc.set_timestep(dt)
+            mpc.set_track(self._track)
+            mpc.agent_name = self.name
+            self.policy = mpc
+            self.stage = 1
+        elif self.stage == 1:
+            lmpc = policies.LMPCRacingGame(
+                params.LMPCParam.default(),
+                racing_game_param=params.RacingGameParam.default(),
+                system_param=params.SystemParam.default(),
+                timestep=dt,
+                lap_number=self._lap_number,
+                time_lmpc=5000 * dt,
+            )
+            lmpc.set_track(self._track)
+            lmpc.set_timestep(dt)
+            if self._opti_traj_xcurv is not None:
+                lmpc.set_opti_traj(self._opti_traj_xcurv, self._opti_traj_xglob)
+            # the artifact/obstacle view: only the ego exists in this node's
+            # world, so the overtake dispatch stays on the pure-LMPC branch
+            ego_model = veh_mod.DynamicBicycleModel(
+                name="ego", system_param=params.SystemParam.default()
+            )
+            ego_model.set_track(self._track)
+            lmpc.set_racing_sim(_VehiclesView({"ego": ego_model}))
+            lmpc.set_vehicles_track()
+            lmpc.agent_name = "ego"
+            lmpc.add_trajectory(self._log_ego, 0)
+            lmpc.add_trajectory(self._log_ego, 1)
+            self.policy = lmpc
+            self.lmpc = lmpc
+            self.stage = 2
+        else:
+            self.lmpc.add_trajectory(self._log_ego, self.laps_done - 1)
+
+    def tick(self):
+        with self._lock:
+            state = self._state
+        if state is None:
+            return
+        L = float(self._track.lap_length)
+        s = float(state[4]) % L
+        lap_state = np.array(state)
+        lap_state[4] = s  # lap-local s: realtime vehicles never wrap theirs
+        if self._last_s is not None and s < self._last_s - 0.5 * L:
+            # lap completed: close the lap with an unwrapped final point so
+            # compute_cost sees the crossing (offboard lap logs end > L)
+            self.lap_log.append(np.concatenate([lap_state[:4], [s + L], lap_state[5:]]))
+            self.lap_input_log.append(np.asarray(self.policy.get_input() if self.policy.u is not None else np.zeros(U_DIM)))
+            self._close_lap()
+        self._last_s = s
+        self.lap_log.append(lap_state)
+        self.policy.set_state(lap_state[:X_DIM], lap_state[X_DIM:])
+        self.policy.calc_input()
+        u = self.policy.get_input()
+        self.lap_input_log.append(np.asarray(u))
+        self.bus.publish_array(f"{self.name}/input", u)

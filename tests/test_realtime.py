@@ -135,6 +135,103 @@ def test_staged_controller_switches_policy(broker):
         pub.close()
 
 
+def test_staged_controller_reaches_lmpc(broker):
+    """The staged protocol must go PID -> MPC-LTI -> LMPC, seeding the
+    learning policy from the node's own lap logs — the stage the reference
+    left broken (realtime/controller.py:121-128 calls add_trajectory with a
+    signature base.py:631 can't accept).  Driven by manual ticks with
+    synthetic lap sweeps so the test has no wall-clock dependence."""
+    from car_racing_tpu.realtime.nodes import StagedControllerNode
+
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    node = StagedControllerNode("stagelmpc", track, port=PORT, rate_hz=10.0)
+    try:
+        L = float(track.lap_length)
+        pts = 60
+        vx = L / (pts * 0.1)
+        stages_seen = []
+        for lap in range(3):
+            for i in range(pts):
+                state = np.zeros(12)
+                state[0] = vx
+                state[4] = lap * L + i * L / pts  # realtime s never wraps
+                node._on_state(state)
+                node.tick()
+            stages_seen.append(node.stage)
+        assert stages_seen == [0, 1, 2], stages_seen  # PID -> MPC -> LMPC
+        assert node.lmpc is not None and node.lmpc.iter == 2
+        assert np.isfinite(np.asarray(node.policy.get_input())).all()
+        # a further lap completion adds the LMPC lap to the safe set
+        for i in range(pts):
+            state = np.zeros(12)
+            state[0] = vx
+            state[4] = 3 * L + i * L / pts
+            node._on_state(state)
+            node.tick()
+        assert node.lmpc.iter == 3
+        assert node.laps_done == 3
+    finally:
+        node.stop()
+
+
+def test_cbf_controller_node_avoids_bus_obstacles(broker):
+    """Realtime MPC-CBF mode (reference realtime/controller.py:31-36):
+    obstacles discovered via vehicle_list feed constant-velocity forecasts
+    into the CBF solve."""
+    from car_racing_tpu.realtime.nodes import CBFControllerNode
+
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    node = CBFControllerNode("ego", track, port=PORT, vt=0.8)
+    try:
+        node._on_list(b"ego\x00car1")
+        assert "car1" in node._vehicles
+        obs = np.zeros(12)
+        obs[0], obs[4], obs[5] = 0.2, 1.2, 0.1  # slow car just ahead
+        node._vehicles["car1"].update(obs)
+        ego_state = np.zeros(12)
+        ego_state[0], ego_state[4] = 0.8, 0.3
+        node._on_state(ego_state)
+        node.tick()
+        u = np.asarray(node.policy.get_input())
+        assert u.shape == (2,) and np.isfinite(u).all()
+        # the CBF row is active: the solve must not output full throttle
+        # straight into the gated obstacle
+        assert u[1] < 0.99
+    finally:
+        node.stop()
+
+
+def test_visualization_renders_frames(broker, tmp_path):
+    """VisualizationNode with render_dir set writes real track+vehicle
+    frames (reference realtime/visualization.py:14-30 FuncAnimation view,
+    headless)."""
+    import os
+
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    viz = VisualizationNode(
+        port=PORT, rate_hz=20.0, render_dir=str(tmp_path), track=track
+    ).start()
+    pub = bus_mod.Bus(port=PORT)
+    try:
+        pub.publish("vehicle_list", b"ego")
+        time.sleep(0.2)
+        state = np.zeros(12)
+        state[6 + 4], state[6 + 5] = 1.0, 0.2  # xglob X, Y
+        deadline = time.time() + 5
+        while viz.frames_rendered < 2 and time.time() < deadline:
+            pub.publish_array("simulator/ego/state", state)
+            time.sleep(0.1)
+        assert viz.frames_rendered >= 2
+        frame = os.path.join(str(tmp_path), "frame_00000.png")
+        assert os.path.exists(frame) and os.path.getsize(frame) > 5000
+    finally:
+        viz.stop()
+        pub.close()
+
+
 def test_broker_survives_garbage(broker):
     """Malformed frames must not crash the broker or affect other clients."""
     import socket as socket_mod
