@@ -63,6 +63,20 @@ def racing_overtake(args):
             lmpc.set_racing_sim(sim)
             lmpc.set_vehicles_track()
 
+            # --sim-replay reuses the other vehicles' initial conditions from
+            # the previously saved run (reference overtake_planner_test.py:61-74)
+            replay_inits = None
+            if args["sim_replay"]:
+                saved = common.load_sim(f"data/simulator/racing_game_{layout}.obj")
+                replay_inits = []
+                for i in range(len(saved.vehicles) - 1):
+                    car = saved.vehicles[f"car{i+1}"]
+                    # completed-lap log if the car finished one, else the
+                    # in-progress lap log (prescribed cars rarely lap)
+                    xc0 = np.asarray(car.xcurvs[0][0] if car.xcurvs else car.lap_xcurvs[0])
+                    replay_inits.append((float(xc0[0]), float(xc0[4]), float(xc0[5])))
+                num_veh = len(replay_inits)
+
             others = []
             for it in range(lap_number):
                 if it == 0:
@@ -77,11 +91,21 @@ def racing_overtake(args):
                     sim.sim(sim_time=1000, one_lap=True, one_lap_name="ego")
                     lmpc.add_trajectory(ego, 2)
                 else:
+                    if it == 5 and args["save_trajectory"]:
+                        # mid-protocol multi-lap ego checkpoint for --direct-lmpc
+                        # restarts (reference overtake_planner_test.py:140-146)
+                        import os
+
+                        os.makedirs("data/ego", exist_ok=True)
+                        with open(f"data/ego/ego_{layout}_multi_laps.obj", "wb") as fh:
+                            pickle.dump(ego, fh, protocol=pickle.HIGHEST_PROTOCOL)
                     if it == lap_number - 1:
                         for i in range(num_veh):
                             car = vehicles.NoDynamicsModel(name=f"car{i+1}")
                             car.set_track(track)
-                            if args["random_other_agents"] or args["multi_tests"]:
+                            if replay_inits is not None:
+                                v, s0, ey0 = replay_inits[i]
+                            elif args["random_other_agents"] or args["multi_tests"]:
                                 v = random.uniform(0.4, 0.8)
                                 s0 = random.uniform(2.0, 10.0)
                                 ey0 = random.uniform(-0.6, 0.6)

@@ -227,6 +227,17 @@ def ilqr(
 # ---------------------------------------------------------------------------
 
 
+# warm-start sanitization caps (see _cbf_nlp): primal slacks and IPM slack
+# estimates restart from moderate values after deeply-violated episodes
+# (their 1e4-5e4 barrier-scale magnitudes NaN the f32 Newton solve), while
+# the multiplier cap stays ABOVE the 1e4 slack-penalty weight — the
+# slack-positivity duals legitimately sit at that scale at stationarity,
+# and capping them below it re-stalls the warm solve.
+WARM_SLACK_MAX = 10.0
+WARM_LAM_MAX = 2e4
+WARM_S_MAX = 100.0
+
+
 def obstacle_gate_mask(xcurv, obs_first_s, lap_length, safety_time=2.0):
     """Nearby-obstacle gating (control.py:499-523) as a mask: obstacle k is
     considered iff its wrapped s is within +-(vx * safety_time) of ego's."""
@@ -375,8 +386,17 @@ def _cbf_nlp(
         z0 = jnp.zeros(n_z, dtype).at[n_u:].set(0.1)
         lam0 = s0 = None
     else:
+        # Sanitize the warm iterate.  After a deeply violated episode the
+        # previous solve's slacks/duals reach the 1e4-5e4 range (the
+        # degree-6 barrier magnitudes); warm-starting f32 from there NaNs
+        # the Newton solve, while clamped restarts converge as well as a
+        # cold start on the same problems (measured on a captured failing
+        # racing-game step).  Nominal warm iterates sit far below these
+        # caps and pass through untouched.
         z0, lam0, s0 = warm
-        z0 = z0.at[n_u:].set(jnp.maximum(z0[n_u:], 0.1))
+        z0 = z0.at[n_u:].set(jnp.clip(z0[n_u:], 0.1, WARM_SLACK_MAX))
+        lam0 = jnp.clip(lam0, 1e-3, WARM_LAM_MAX)
+        s0 = jnp.clip(s0, 1e-2, WARM_S_MAX)
     sol = ipm.solve_qp_nl(H, g, C_lin, d_lin, c_nl, z0, lam0=lam0, s0=s0, iters=iters)
     U = sol.z[:n_u].reshape(N, U_DIM)
     return U, states_of(sol.z), sol

@@ -595,7 +595,16 @@ def solve_qp_nl(
         a_s = jnp.minimum(1.0, jnp.min(neg(ds, s)))
         a_l = jnp.minimum(1.0, jnp.min(neg(dlam, lam)))
 
-        upd = ~done
+        # non-finite step guard: an ill-conditioned Newton system (f32 +
+        # degree-6 constraint Gram at extreme iterates) can emit NaN; skip
+        # the step instead of poisoning the iterate — the caller still gets
+        # the best finite point found.
+        ok = (
+            jnp.all(jnp.isfinite(dz))
+            & jnp.all(jnp.isfinite(ds))
+            & jnp.all(jnp.isfinite(dlam))
+        )
+        upd = (~done) & ok
         z = jnp.where(upd, z + a_s * dz, z)
         s = jnp.where(upd, s + a_s * ds, s)
         lam = jnp.where(upd, lam + a_l * dlam, lam)

@@ -306,7 +306,6 @@ class LMPCRacingGame(ControlBase):
 
     def __init__(self, lmpc_param, racing_game_param=None, system_param=None,
                  timestep=None, lap_number=None, time_lmpc=None, path_planner=False):
-        from ..ops import lmpc_learning
         from ..planning import overtake
         from ..utils import params as params_mod
 
@@ -319,7 +318,6 @@ class LMPCRacingGame(ControlBase):
             self.overtake_planner = overtake.OvertakePathPlanner(self.racing_game_param)
         else:
             self.overtake_planner = overtake.OvertakeTrajPlanner(self.racing_game_param)
-        self._learning = lmpc_learning
         self.x_pred = None
         self.u_pred = None
         self.lin_points = None
@@ -352,8 +350,7 @@ class LMPCRacingGame(ControlBase):
         """Time-varying (A, B, C) over the horizon from kernel-weighted
         local regression on the last two laps (base.py:585-622), as one
         vmapped kernel."""
-        from ..ops import track as track_ops
-        import jax
+        from ..ops import lmpc_learning, track as track_ops
 
         N = self.lmpc_param.num_horizon
         used = [self.iter - 2, self.iter - 1]
@@ -367,7 +364,7 @@ class LMPCRacingGame(ControlBase):
         curvs = np.asarray(
             track_ops.curvature_batch(self.track, jnp.asarray(np.mod(lin_points[:, 4], self.lap_length)))
         )
-        A, B, C = self._learning.estimate_abc_horizon(
+        A, B, C = lmpc_learning.estimate_abc_horizon(
             jnp.asarray(lin_points),
             jnp.asarray(lin_inputs),
             jnp.asarray(ss),

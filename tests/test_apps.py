@@ -25,13 +25,35 @@ def test_sysid_linear_regression_recovers_lti():
     np.testing.assert_allclose(B, B_true, atol=1e-6)
 
 
-@pytest.mark.parametrize(
-    "module,extra",
-    [
-        ("car_racing_tpu.apps.control_test", ["--ctrl-policy", "pid"]),
-    ],
-)
-def test_cli_driver_runs(module, extra, tmp_path, repo_root):
+# every reference entry script (SURVEY §2.21) has a driver here; each runs
+# end-to-end in CI with a capped sim horizon.  The lap-protocol drivers
+# (lmpc, overtake) get a cap long enough to complete their laps and tiny
+# lap counts — slow-ish, but they execute the full wiring including the
+# flags that rotted silently in round 1 (--sim-replay, --save-trajectory).
+_DRIVERS = [
+    ("car_racing_tpu.apps.control_test",
+     ["--ctrl-policy", "pid", "--simulation", "--zero-noise"], 3.0),
+    ("car_racing_tpu.apps.control_test",
+     ["--ctrl-policy", "lqr", "--simulation", "--zero-noise"], 3.0),
+    ("car_racing_tpu.apps.control_test",
+     ["--ctrl-policy", "mpc-lti", "--simulation", "--zero-noise"], 3.0),
+    ("car_racing_tpu.apps.ilqr_test",
+     ["--simulation", "--zero-noise", "--track-layout", "l_shape"], 3.0),
+    ("car_racing_tpu.apps.mpccbf_test",
+     ["--simulation", "--zero-noise"], 3.0),
+    ("car_racing_tpu.apps.system_identification_test", [], 3.0),
+    ("car_racing_tpu.apps.lmpc_test",
+     ["--simulation", "--zero-noise", "--lap-number", "3"], 40.0),
+    ("car_racing_tpu.apps.overtake_planner_test",
+     ["--simulation", "--zero-noise", "--lap-number", "4",
+      "--number-other-agents", "2"], 90.0),
+]
+
+
+@pytest.mark.parametrize("module,extra,cap", _DRIVERS,
+                         ids=[f"{m.rsplit('.',1)[1]}-{'-'.join(e[:2]) or 'default'}"
+                              for m, e, _ in _DRIVERS])
+def test_cli_driver_runs(module, extra, cap, tmp_path, repo_root):
     """Drivers must parse the reference flag surface and run a short sim."""
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
@@ -41,15 +63,40 @@ def test_cli_driver_runs(module, extra, tmp_path, repo_root):
         # shrink sim horizon for CI speed
         "import car_racing_tpu.racing.simulator as s;"
         "orig = s.CarRacingSim.sim;"
-        "s.CarRacingSim.sim = lambda self, sim_time=1.0, **kw: orig(self, sim_time=min(sim_time, 3.0), **kw);"
+        "s.CarRacingSim.sim = lambda self, sim_time=1.0, **kw: orig(self, sim_time=min(sim_time, %r), **kw);"
         "main()"
-        % (extra + ["--simulation", "--track-layout", "l_shape", "--zero-noise"], module)
+        % (extra, module, cap)
     )
     res = subprocess.run(
         [sys.executable, "-c", code],
         cwd=repo_root,
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_overtake_driver_replay_flag(tmp_path, repo_root):
+    """--sim-replay must reuse the saved run's other-vehicle initial
+    conditions (reference overtake_planner_test.py:61-74).  Depends on the
+    saved simulator produced by the overtake driver run above."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv=['x', '--simulation', '--zero-noise',"
+        " '--lap-number', '4', '--sim-replay'];"
+        "from car_racing_tpu.apps.overtake_planner_test import main;"
+        "import car_racing_tpu.racing.simulator as s;"
+        "orig = s.CarRacingSim.sim;"
+        "s.CarRacingSim.sim = lambda self, sim_time=1.0, **kw: orig(self, sim_time=min(sim_time, 40.0), **kw);"
+        "main()"
+    )
+    import os
+
+    if not os.path.exists(os.path.join(repo_root, "data/simulator/racing_game_l_shape.obj")):
+        pytest.skip("no saved racing-game run to replay (run the driver test first)")
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo_root, capture_output=True, text=True,
+        timeout=900,
     )
     assert res.returncode == 0, res.stderr[-2000:]
