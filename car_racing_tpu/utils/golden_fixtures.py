@@ -1,0 +1,113 @@
+"""Golden closed-loop trajectory fixtures (regression goldens).
+
+CasADi/IPOPT cannot be installed in the build environment, so reference
+closed-loop trajectories cannot be recorded directly.  Instead these are
+the REBUILD'S OWN zero-noise trajectories, recorded once on CPU f64 and
+committed under ``data/goldens/`` — they pin behavioral stability across
+commits.  Their *correctness* (as opposed to stability) is covered by the
+solver parity gates: KKT-residual sweeps on all four tracks
+(tests/test_four_tracks.py) and scipy trust-constr agreement
+(tests/test_ipm.py).
+
+Regenerate CONSCIOUSLY after an intentional behavior change:
+
+    python -m car_racing_tpu.utils.golden_fixtures
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+GOLDEN_DIR = "data/goldens"
+
+
+def _scenarios():
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import dynamics, track as track_ops
+    from ..racing import fused, policies, simulator, vehicles
+    from . import params
+    from .bench_fixtures import FIXTURE_PATH
+    from .constants import X_DIM
+
+    out = {}
+
+    # ---- PID: host loop, 200 steps, l_shape width 0.8 -----------------------
+    track = track_ops.load_track("l_shape", width=0.8)
+    ego = vehicles.DynamicBicycleModel(name="ego", system_param=params.SystemParam.default())
+    ego.set_zero_noise()
+    ego.set_state_curvilinear(np.zeros(X_DIM))
+    ego.set_state_global(np.zeros(X_DIM))
+    ego.start_logging()
+    sim = simulator.CarRacingSim()
+    sim.set_timestep(0.1)
+    sim.set_track(track)
+    sim.add_vehicle(ego)
+    pol = policies.PIDTracking(vt=0.8)
+    pol.set_timestep(0.1)
+    pol.set_track(track)
+    pol.set_racing_sim(sim)
+    ego.set_ctrl_policy(pol)
+    sim.sim(sim_time=20.0)
+    out["pid_l_shape"] = np.asarray(ego.xcurv_log)
+
+    # ---- MPC-LTI: fused rollout, 100 steps ---------------------------------
+    bike = dynamics.BicycleParams.default()
+    mpc_param = params.MPCParam.default(vt=0.8)
+    sysp = params.SystemParam.default()
+    xt = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
+    xc, us = fused.rollout_mpc_tracking(
+        track, bike, mpc_param, sysp, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM), n_steps=100
+    )
+    out["mpc_lti_l_shape"] = np.asarray(xc)
+
+    # ---- MPC-CBF: fused rollout vs two prescribed cars, 200 steps ----------
+    track_w = track_ops.load_track("l_shape", width=1.0)
+    cbf_param = params.MPCCBFParam.default(vt=0.8)
+    n_obs = 4
+    s_coef = np.zeros((n_obs, 2))
+    ey_coef = np.zeros((n_obs, 2))
+    act = np.zeros(n_obs, bool)
+    s_coef[0], ey_coef[0], act[0] = [0.2, 4.0], [0.0, 0.1], True
+    s_coef[1], ey_coef[1], act[1] = [0.2, 10.0], [0.0, -0.1], True
+    halfs = np.ones((n_obs, 2))
+    halfs[:2] = [0.2, 0.1]
+    xc, us, kkt = fused.rollout_mpccbf(
+        track_w, bike, cbf_param, sysp, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        jnp.asarray(s_coef), jnp.asarray(ey_coef), jnp.asarray(act),
+        jnp.asarray(halfs), jnp.asarray([0.2, 0.1]), n_steps=200,
+    )
+    out["mpccbf_l_shape"] = np.asarray(xc)
+
+    # ---- LMPC: fused learning lap from the committed seed fixture ----------
+    seed = np.load(FIXTURE_PATH)
+    lmpc_param = params.LMPCParam.default()
+    j = lambda k: jnp.asarray(seed[k])
+    xc, us, dones, lap_steps = fused.rollout_lmpc_lap(
+        track_w, bike, lmpc_param, sysp, j("xcurv0"), j("xglob0"),
+        j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+        jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+        jnp.asarray(seed["counter"], jnp.int32),
+        j("lin_points0"), j("lin_input0"), n_steps=250,
+    )
+    out["lmpc_lap_l_shape"] = np.asarray(xc)[: int(lap_steps) + 1]
+    return out
+
+
+def generate(golden_dir: str = GOLDEN_DIR):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    os.makedirs(golden_dir, exist_ok=True)
+    for name, traj in _scenarios().items():
+        path = os.path.join(golden_dir, f"{name}.csv")
+        np.savetxt(path, traj, delimiter=",")
+        print(f"wrote {path}: {traj.shape}")
+
+
+if __name__ == "__main__":
+    generate()
