@@ -65,6 +65,37 @@ def test_safe_set_exchange(mesh):
     assert full.sharding.is_fully_replicated
 
 
+def test_scaling_efficiency_artifact(mesh, repo_root):
+    """Run the full 256-branch scaling-efficiency measurement on the
+    virtual 8-device CPU mesh and record the artifact (SCALING_LOCAL.json).
+
+    Real multi-chip TPU hardware is unavailable in this environment (one
+    chip behind a tunnel), so the BASELINE >= 0.8 multi-host efficiency
+    target cannot be measured on silicon; this measures the same harness on
+    8 virtual CPU devices — validating the sharded program end-to-end and
+    recording the numbers — while bench.py reports single-TPU branch
+    throughput.  Virtual-device efficiency is NOT asserted against 0.8:
+    8 'devices' here share one CPU's cores, so per-device throughput
+    necessarily drops."""
+    import json
+    import os
+
+    from car_racing_tpu.parallel import scaling
+
+    report = scaling.scaling_efficiency(branches=256, horizon=10)
+    assert report["n_devices"] == 8
+    assert report["single"]["branches"] == 256
+    assert report["multi"]["branches"] == 512  # 2 scenarios x 256
+    assert np.isfinite(report["efficiency"]) and report["efficiency"] > 0
+    with open(os.path.join(repo_root, "SCALING_LOCAL.json"), "w") as fh:
+        json.dump(
+            {"note": "8 virtual CPU devices (one real TPU chip available; "
+                     "multi-chip unavailable) — harness validation, not a "
+                     "silicon efficiency claim", **report},
+            fh, indent=1,
+        )
+
+
 def test_scaling_efficiency_harness(mesh):
     """The sweep must run at 1 device and 8 devices with identical results
     (the correctness half of the scaling-efficiency story; timing runs on
