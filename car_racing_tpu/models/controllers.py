@@ -85,7 +85,7 @@ def _tracking_qp(param, sys_param: SystemParam, track_width, x0, xtarget, extra_
     return ipm.QP(H=H, g=g, C=C, d=d, E=E, e=e), phi, G
 
 
-@partial(jax.jit, static_argnames=("return_traj",))
+@partial(jax.jit, static_argnames=("return_traj", "kkt"))
 def mpc_lti(
     xcurv: jax.Array,
     xtarget: jax.Array,
@@ -94,12 +94,36 @@ def mpc_lti(
     track_width: jax.Array,
     u_warm: jax.Array | None = None,
     return_traj: bool = False,
+    kkt: str = "dense",
 ):
     """MPC tracking QP: LTI dynamics, box input/state rows, track width.
+
+    ``kkt`` selects the Newton-step factorization: "dense" condenses onto U
+    and factorizes the (N*U_DIM)^2 system; "riccati" solves the same QP via
+    the stage-structured block-tridiagonal path (ipm.solve_ocp_qp) — O(N)
+    time/memory per IPM iteration.  Both return the same solution (parity
+    test: tests/test_ipm.py); see README for the measured crossover.
 
     Returns u_0 (and optionally (U, X) open-loop trajectories).
     """
     N = param.num_horizon
+    if kkt == "riccati":
+        u_min = jnp.stack([-sys_param.delta_max, -sys_param.a_max])
+        u_max = jnp.stack([sys_param.delta_max, sys_param.a_max])
+        U0 = (
+            u_warm.reshape(N, U_DIM)
+            if u_warm is not None
+            else jnp.zeros((N, U_DIM), xcurv.dtype)
+        )
+        U, X, sol = ipm.solve_ocp_qp(
+            param.A, param.B, param.Q, param.R, xcurv, xtarget,
+            u_min, u_max, sys_param.v_min, sys_param.v_max,
+            jnp.asarray(track_width, xcurv.dtype), U0,
+            num_horizon=N, iters=30,
+        )
+        if return_traj:
+            return U[0], U, X
+        return U[0]
     qp, phi, G = _tracking_qp(param, sys_param, track_width, xcurv, xtarget)
     z0 = u_warm if u_warm is not None else jnp.zeros(N * U_DIM, qp.H.dtype)
     sol = ipm.solve_qp(qp, z0, iters=30)
@@ -497,6 +521,97 @@ def mpc_multi_agents(
         iters=iters,
     )
     return U[0], U, X, sol
+
+
+@jax.jit
+def mpc_multi_agents_nocbf(
+    xcurv: jax.Array,
+    x_targets: jax.Array,  # (N, X_DIM) interpolated overtake targets
+    A: jax.Array,
+    B: jax.Array,
+    Q: jax.Array,
+    R: jax.Array,
+    sys_param: SystemParam,
+    track_width: jax.Array,
+    agent_half: jax.Array,  # (2,) ego (length/2, width/2)
+    left_bound: jax.Array,  # () 1.2 * ey_min of the left neighbor
+    left_gate: jax.Array,  # (N,) bool — stage row active (overlap check)
+    right_bound: jax.Array,  # () 1.2 * ey_max of the right neighbor
+    right_gate: jax.Array,  # (N,) bool
+):
+    """Racing-game tracker with the reference's NON-CBF geometric
+    no-overlap rows (control.py:383-445): per stage,
+
+        ey_k + l/2 sin(epsi_k) + w/2 cos(epsi_k) <= left_bound   (left nbr)
+        ey_k - l/2 sin(epsi_k) - w/2 cos(epsi_k) >= right_bound  (right nbr)
+
+    whenever the constant-velocity-predicted ego footprint longitudinally
+    overlaps the neighbor (the gates — computed by the caller from
+    get_agent_range/ego_agent_overlap_checker, planning/overtake.py:46-63,
+    exactly like the reference's Python-side build-time conditionals).
+    This branch is DEAD CODE in the reference (CBF_Flag hardcoded True at
+    control.py:281) and is provided for constraint-topology parity; the
+    trigonometric rows get closed-form Jacobians chained through the
+    condensed prediction rows, like the CBF rows do.
+
+    Returns (u0, U, X)."""
+    N = x_targets.shape[0]
+    dtype = xcurv.dtype
+    phi, G = ocp.condense_lti(A, B, N, xcurv)
+    n_u = N * U_DIM
+    l_half, w_half = agent_half[0], agent_half[1]
+
+    sel_e = jnp.arange(N) * X_DIM + 3  # epsi rows of x_1..x_N
+    sel_ey = jnp.arange(N) * X_DIM + 5
+    G_e, p_e = G[sel_e], phi[sel_e]
+    G_ey, p_ey = G[sel_ey], phi[sel_ey]
+
+    x_t_flat = x_targets.reshape(N * X_DIM)
+    Qbar = jnp.kron(jnp.eye(N, dtype=dtype), Q)
+    Rbar = jnp.kron(jnp.eye(N, dtype=dtype), R)
+    H = 2.0 * (G.T @ Qbar @ G + Rbar) + 1e-9 * jnp.eye(n_u, dtype=dtype)
+    g = 2.0 * (G.T @ (Qbar @ (phi - x_t_flat)))
+
+    # linear rows: input box, vx bounds, track width
+    sel_vx = jnp.arange(N) * X_DIM
+    I_u = jnp.eye(n_u, dtype=dtype)
+    u_lo = jnp.tile(jnp.stack([-sys_param.delta_max, -sys_param.a_max]), N)
+    u_hi = jnp.tile(jnp.stack([sys_param.delta_max, sys_param.a_max]), N)
+    C = jnp.concatenate([I_u, -I_u, -G[sel_vx], G[sel_vx], -G_ey, G_ey], axis=0)
+    d = jnp.concatenate(
+        [
+            u_lo,
+            -u_hi,
+            phi[sel_vx] - sys_param.v_max,
+            sys_param.v_min - phi[sel_vx],
+            p_ey - track_width,
+            -track_width - p_ey,
+        ]
+    )
+
+    def c_nl(z):
+        e = p_e + G_e @ z  # (N,) epsi_1..epsi_N
+        ey = p_ey + G_ey @ z
+        se, ce = jnp.sin(e), jnp.cos(e)
+        edge = l_half * se + w_half * ce
+        c_left = left_bound - (ey + edge)
+        c_right = (ey - edge) - right_bound
+        vals = jnp.concatenate(
+            [
+                jnp.where(left_gate, c_left, 1.0),
+                jnp.where(right_gate, c_right, 1.0),
+            ]
+        )
+        dedge = (l_half * ce - w_half * se)[:, None] * G_e  # (N, n_u)
+        J_left = jnp.where(left_gate[:, None], -(G_ey + dedge), 0.0)
+        J_right = jnp.where(right_gate[:, None], G_ey - dedge, 0.0)
+        return vals, jnp.concatenate([J_left, J_right], axis=0)
+
+    z0 = jnp.zeros(n_u, dtype)
+    sol = ipm.solve_qp_nl(H, g, C, d, c_nl, z0, iters=40)
+    U = sol.z.reshape(N, U_DIM)
+    X = ocp.unpack_states(phi, G, sol.z, xcurv)
+    return U[0], U, X
 
 
 def _stage_shift(a: jax.Array, axis: int = 0) -> jax.Array:

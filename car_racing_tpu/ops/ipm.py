@@ -512,6 +512,205 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
 
 
 # ---------------------------------------------------------------------------
+# Stage-structured (Riccati) KKT path: the survey's horizon-parallel
+# factorization (SURVEY §5.7).  The KKT system of the tracking OCP is
+# block-tridiagonal in the stage index; with stage-local inequality rows
+# (input box, per-stage state bounds) the barrier term keeps it block-
+# tridiagonal, so every IPM Newton step is ONE TV-LQR Riccati sweep —
+# O(N n^3) time and O(N) memory per iteration, vs the dense condensed
+# path's O((N m)^3) factorization over an O(N^2) matrix.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_horizon", "iters"))
+@_highp
+def solve_ocp_qp(
+    A: jax.Array,  # (n, n) LTI dynamics
+    B: jax.Array,  # (n, m)
+    Q: jax.Array,  # (n, n) state tracking weight
+    R: jax.Array,  # (m, m) input weight
+    x0: jax.Array,  # (n,)
+    xtarget: jax.Array,  # (n,)
+    u_min: jax.Array,  # (m,)
+    u_max: jax.Array,  # (m,)
+    v_min: jax.Array,  # () bound on state component 0, stages 1..N
+    v_max: jax.Array,
+    ey_bound: jax.Array,  # () |x_5| <= ey_bound, stages 1..N
+    U0: jax.Array,  # (N, m) warm start
+    num_horizon: int = 10,
+    iters: int = 30,
+    tol: float | None = None,
+) -> tuple[jax.Array, jax.Array, IPMSolution]:
+    """Tracking-OCP QP via the stage-structured KKT path.
+
+    Solves exactly the problem of :func:`car_racing_tpu.models.controllers.
+    mpc_lti` — cost sum_k (x_k - xt)' Q (x_k - xt) + u_k' R u_k, LTI
+    dynamics, input box, vx/ey bounds on stages 1..N — but each primal-dual
+    Newton step is computed by a Riccati recursion (ops/riccati.py
+    tvlqr_backward) on the barrier-augmented stage costs instead of
+    factorizing the densely condensed system.  The dynamics stay exactly
+    feasible throughout: (X, U) starts on a rollout and the LTI Newton
+    directions preserve the equalities for any step length.
+
+    Returns (U (N, m), X (N+1, n), IPMSolution with z = U.ravel()).
+    """
+    from . import riccati
+
+    N = num_horizon
+    n = A.shape[0]
+    m = B.shape[1]
+    dtype = x0.dtype
+    if tol is None:
+        tol = 1e-8 if dtype == jnp.float64 else 1e-3
+    eps_div, mu_floor = _eps_for(dtype)
+    tau = 0.995
+    e0 = jnp.zeros(n, dtype).at[0].set(1.0)
+    e5 = jnp.zeros(n, dtype).at[5].set(1.0)
+
+    def rollout(U):
+        def body(x, u):
+            xn = A @ x + B @ u
+            return xn, xn
+
+        _, X1 = jax.lax.scan(body, x0, U)
+        return jnp.concatenate([x0[None], X1], axis=0)  # (N+1, n)
+
+    def c_of(X, U):
+        """Stage-grouped inequality values, each (N, ...) >= 0 when feasible."""
+        Xs = X[1:]  # x_1..x_N
+        return (
+            U - u_min,  # u lower   (N, m)
+            u_max - U,  # u upper   (N, m)
+            Xs[:, 0] - v_min,  # vx lower  (N,)
+            v_max - Xs[:, 0],  # vx upper  (N,)
+            Xs[:, 5] + ey_bound,  # ey lower  (N,)
+            ey_bound - Xs[:, 5],  # ey upper  (N,)
+        )
+
+    flat = lambda groups: jnp.concatenate([g.reshape(-1) for g in groups])
+
+    def unflat(v):
+        o = 0
+        out = []
+        for sz, shape in ((N * m, (N, m)), (N * m, (N, m)), (N, (N,)), (N, (N,)), (N, (N,)), (N, (N,))):
+            out.append(v[o : o + sz].reshape(shape))
+            o += sz
+        return tuple(out)
+
+    U = U0
+    X = rollout(U)
+    ci0 = flat(c_of(X, U))
+    M = ci0.shape[0]
+    s = jnp.maximum(ci0, 1e-2)
+    lam = jnp.full((M,), 0.1, dtype) / s
+    mu = jnp.asarray(1e-1, dtype)
+    reg = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-7, dtype)
+    A_stack = jnp.broadcast_to(A, (N,) + A.shape)
+    B_stack = jnp.broadcast_to(B, (N,) + B.shape)
+
+    def kkt_res(X, U, s, lam):
+        ci = flat(c_of(X, U))
+        l_ulo, l_uhi, l_vlo, l_vhi, l_elo, l_ehi = unflat(lam)
+        gL_u = 2.0 * U @ R.T - (l_ulo - l_uhi)  # (N, m)
+        # state-gradient part of the Lagrangian enters through the adjoint;
+        # an equivalent reduced-gradient check: backpropagate costates.
+        gx = 2.0 * (X[1:] - xtarget) @ Q.T
+        gx = gx - (l_vlo - l_vhi)[:, None] * e0 - (l_elo - l_ehi)[:, None] * e5
+
+        def body(p_next, inp):
+            gxk, gLuk = inp
+            p = gxk + A.T @ p_next  # costate p_{k+1}
+            gu = gLuk + B.T @ p  # reduced gradient wrt u_k
+            return p, gu
+
+        _, gus = jax.lax.scan(
+            body, jnp.zeros(n, dtype), (gx, gL_u), reverse=True
+        )
+        red_grad = gus
+        return jnp.max(
+            jnp.concatenate(
+                [jnp.abs(red_grad).reshape(-1), jnp.abs(ci - s), jnp.abs(s * lam)]
+            )
+        )
+
+    def step(carry, _):
+        X, U, s, lam, mu, done_iter, k = carry
+        groups = c_of(X, U)
+        ci = flat(groups)
+        res = kkt_res(X, U, s, lam)
+        converged_now = res < tol
+        done_iter = jnp.where(converged_now & (done_iter < 0), k, done_iter)
+
+        sl = jnp.minimum(lam / jnp.maximum(s, eps_div), _sigma_cap(dtype))
+        r_bar = (mu - s * lam) / jnp.maximum(s, eps_div) - sl * (ci - s)
+        sl_g = unflat(sl)
+        r_g = unflat(r_bar)
+        lam_g = unflat(lam)
+
+        # barrier-augmented stage costs for the Newton TV-LQR
+        luu = 2.0 * R + jax.vmap(jnp.diag)(sl_g[0] + sl_g[1])  # (N, m, m)
+        gL_u = 2.0 * U @ R.T - (lam_g[0] - lam_g[1])
+        lu = gL_u - (r_g[0] - r_g[1])  # = -g_bar_u
+
+        sx_diag = (sl_g[2] + sl_g[3])[:, None] * e0 + (sl_g[4] + sl_g[5])[:, None] * e5
+        lxx_stage = 2.0 * Q + jax.vmap(jnp.diag)(sx_diag)  # (N, n, n) for x_1..x_N
+        gL_x = 2.0 * (X[1:] - xtarget) @ Q.T
+        gL_x = gL_x - (lam_g[2] - lam_g[3])[:, None] * e0 - (lam_g[4] - lam_g[5])[:, None] * e5
+        lx_stage = gL_x - (r_g[2] - r_g[3])[:, None] * e0 - (r_g[4] - r_g[5])[:, None] * e5
+
+        # stage k of tvlqr carries the cost on x_k: x_0 is fixed (dx_0 = 0),
+        # x_1..x_{N-1} are interior stages, x_N is the terminal value
+        l_x = jnp.concatenate([jnp.zeros((1, n), dtype), lx_stage[: N - 1]], axis=0)
+        l_xx = jnp.concatenate([jnp.zeros((1, n, n), dtype), lxx_stage[: N - 1]], axis=0)
+        ks, Ks = riccati.tvlqr_backward(
+            A_stack, B_stack, l_x, lu, l_xx, luu, lx_stage[N - 1], lxx_stage[N - 1], reg
+        )
+        dX, dU = riccati.tvlqr_rollout(
+            A, B, jnp.zeros(n, dtype), jnp.zeros((N, m), dtype), jnp.zeros((N, n), dtype), ks, Ks
+        )
+
+        # J dz per row group
+        Jdz = flat((
+            dU,
+            -dU,
+            dX[1:, 0],
+            -dX[1:, 0],
+            dX[1:, 5],
+            -dX[1:, 5],
+        ))
+        ds = Jdz + (ci - s)
+        dlam = r_bar - sl * Jdz
+
+        neg = lambda dv, v: jnp.where(dv < 0, -tau * v / jnp.minimum(dv, -1e-30), jnp.inf)
+        a_s = jnp.minimum(1.0, jnp.min(neg(ds, s)))
+        a_l = jnp.minimum(1.0, jnp.min(neg(dlam, lam)))
+
+        upd = ~converged_now
+        X = jnp.where(upd, X + a_s * dX, X)
+        U = jnp.where(upd, U + a_s * dU, U)
+        s = jnp.where(upd, s + a_s * ds, s)
+        lam = jnp.where(upd, lam + a_l * dlam, lam)
+        duality = jnp.sum(s * lam) / M
+        mu = jnp.where(upd, jnp.maximum(0.1 * duality, mu_floor), mu)
+        return (X, U, s, lam, mu, done_iter, k + 1), None
+
+    init = (X, U, s, lam, mu, jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
+    (X, U, s, lam, mu, done_iter, _), _ = jax.lax.scan(step, init, None, length=iters)
+
+    res = kkt_res(X, U, s, lam)
+    sol = IPMSolution(
+        z=U.reshape(-1),
+        lam=lam,
+        nu=jnp.zeros((0,), dtype),
+        s=s,
+        converged=res < jnp.asarray(tol * 1e3, dtype),
+        kkt_res=res,
+        iterations=jnp.where(done_iter < 0, iters, done_iter),
+    )
+    return U, X, sol
+
+
+# ---------------------------------------------------------------------------
 # Mixed-constraint IPM: quadratic objective, explicit linear rows, and
 # nonlinear rows whose (values, Jacobian) come from a closed-form callable.
 # ---------------------------------------------------------------------------

@@ -144,3 +144,50 @@ def test_nlp_degree6_barrier():
     f_out = lambda z: jnp.sum((z - jnp.asarray([1.0, 0.0])) ** 2)
     sol = ipm.solve(f_out, c, jnp.asarray([2.0, 0.5]), iters=40)
     np.testing.assert_allclose(np.asarray(sol.z), [1.0, 0.0], atol=1e-5)
+
+
+def test_riccati_kkt_matches_dense():
+    """The stage-structured (Riccati) KKT path must reproduce the dense
+    condensed path's solution on the tracking QP — the survey's §5.7
+    horizon-structured factorization, validated at machine precision."""
+    from car_racing_tpu.models import controllers
+    from car_racing_tpu.utils import params
+
+    p = params.MPCParam.default(vt=0.8)
+    sysp = params.SystemParam.default()
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        x = jnp.asarray(np.array([0.5, 0, 0, 0, 1.0, 0.1]) + 0.2 * rng.standard_normal(6))
+        xt = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
+        w = jnp.asarray(0.8)
+        u_d, U_d, X_d = controllers.mpc_lti(x, xt, p, sysp, w, return_traj=True, kkt="dense")
+        u_r, U_r, X_r = controllers.mpc_lti(x, xt, p, sysp, w, return_traj=True, kkt="riccati")
+        np.testing.assert_allclose(np.asarray(U_r), np.asarray(U_d), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(X_r), np.asarray(X_d), atol=1e-9)
+
+
+def test_riccati_kkt_long_horizon_feasible():
+    """At iLQR-scale horizons (N = 50) the Riccati path must stay exact:
+    solution satisfies bounds and dynamics, KKT residual converges."""
+    from car_racing_tpu.ops import ipm as ipm_mod
+    from car_racing_tpu.utils import params
+
+    p = params.MPCParam.default(vt=0.8)
+    sysp = params.SystemParam.default()
+    N = 50
+    x = jnp.asarray([0.4, 0, 0, 0, 0.5, 0.2])
+    xt = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
+    u_min = jnp.stack([-sysp.delta_max, -sysp.a_max])
+    u_max = jnp.stack([sysp.delta_max, sysp.a_max])
+    U, X, sol = ipm_mod.solve_ocp_qp(
+        p.A, p.B, p.Q, p.R, x, xt, u_min, u_max, sysp.v_min, sysp.v_max,
+        jnp.asarray(0.8), jnp.zeros((N, 2)), num_horizon=N, iters=40,
+    )
+    U, X = np.asarray(U), np.asarray(X)
+    assert bool(sol.converged), float(sol.kkt_res)
+    # dynamics exactly feasible by construction
+    A, B = np.asarray(p.A), np.asarray(p.B)
+    for k in range(N):
+        np.testing.assert_allclose(X[k + 1], A @ X[k] + B @ U[k], atol=1e-10)
+    assert (U[:, 0] >= -0.5 - 1e-8).all() and (U[:, 0] <= 0.5 + 1e-8).all()
+    assert (np.abs(X[1:, 5]) <= 0.8 + 1e-6).all()

@@ -93,3 +93,41 @@ def test_overtakes_happened(sim_result):
     s_ego_unwrapped = s_ego + wraps * L
     s_car1 = 0.2 * t + 4.0
     assert (s_ego_unwrapped[-30:] > s_car1[-30:]).all()
+
+
+def test_mpc_multi_agents_nocbf_geometric_rows():
+    """The reference's non-CBF geometric no-overlap branch
+    (control.py:383-445, dead code there — CBF_Flag hardcoded True):
+    gated stages must respect ey_k + l/2 sin(epsi_k) + w/2 cos(epsi_k)
+    <= left bound; ungated solves track the target freely."""
+    import jax.numpy as jnp
+
+    from car_racing_tpu.models import controllers
+    from car_racing_tpu.utils import params
+
+    p = params.RacingGameParam.default()
+    sysp = params.SystemParam.default()
+    N = 10
+    x = jnp.asarray([0.6, 0, 0, 0, 2.0, 0.1])
+    xt = np.zeros((N, X_DIM))
+    xt[:, 0] = 0.6
+    xt[:, 5] = 0.3  # target wants to swing left of the bound
+    lg = np.ones(N, bool)
+    rg = np.zeros(N, bool)
+    u0, U, X = controllers.mpc_multi_agents_nocbf(
+        x, jnp.asarray(xt), p.A, p.B, p.Q, p.R, sysp, jnp.asarray(1.0),
+        jnp.asarray([0.2, 0.1]), jnp.asarray(0.25), jnp.asarray(lg),
+        jnp.asarray(-10.0), jnp.asarray(rg),
+    )
+    X = np.asarray(X)
+    edge = 0.2 * np.sin(X[1:, 3]) + 0.1 * np.cos(X[1:, 3])
+    assert np.isfinite(X).all()
+    assert (X[1:, 5] + edge).max() <= 0.25 + 1e-6
+
+    # ungated: the same problem tracks ey = 0.3 past the bound
+    u0b, Ub, Xb = controllers.mpc_multi_agents_nocbf(
+        x, jnp.asarray(xt), p.A, p.B, p.Q, p.R, sysp, jnp.asarray(1.0),
+        jnp.asarray([0.2, 0.1]), jnp.asarray(0.25), jnp.asarray(np.zeros(N, bool)),
+        jnp.asarray(-10.0), jnp.asarray(rg),
+    )
+    assert float(np.asarray(Xb)[-1, 5]) > 0.15
