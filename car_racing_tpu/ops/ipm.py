@@ -352,6 +352,11 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
         g_bar = -gL + C.T @ r_bar
 
         if p:
+            # full LU on the indefinite KKT matrix, NOT Cholesky+Schur
+            # elimination: the LMPC QP's lambda block leaves Hbar near-
+            # singular whenever most safe-set multipliers are inactive, and
+            # the Schur path NaNs there (measured on the realtime staged-
+            # protocol test) while saving only ~0.02 ms/iteration.
             M = jnp.block([[Hbar, E.T], [E, -_eq_reg(dtype) * jnp.eye(p, dtype=dtype)]])
             rhs = jnp.concatenate([g_bar, -ce])
             sol = jnp.linalg.solve(M, rhs)

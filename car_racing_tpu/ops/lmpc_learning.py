@@ -85,8 +85,12 @@ def _kernel_weights(data_zu: jax.Array, valid: jax.Array, x_lin: jax.Array, max_
     diff = (data_zu - x_lin) @ _SCALING.astype(data_zu.dtype)
     norm = jnp.sum(jnp.abs(diff), axis=1)
     norm = jnp.where(valid, norm, jnp.inf)
-    idx = jnp.argsort(norm)[:max_pts]
-    sel_norm = norm[idx]
+    # top_k instead of argsort: a full bitonic sort over all P rows per
+    # stage is the dominant cost of estimate_ABC on TPU; top_k returns the
+    # same max_pts nearest points (tie ORDER may differ — weights are equal
+    # on ties, so the fit is unchanged)
+    neg_norm, idx = jax.lax.top_k(-norm, max_pts)
+    sel_norm = -neg_norm
     w = jnp.where(sel_norm < _H_KERNEL, (1.0 - (sel_norm / _H_KERNEL) ** 2) * 0.75, 0.0)
     w = jnp.where(jnp.isfinite(sel_norm), w, 0.0)
     return idx, w

@@ -14,16 +14,16 @@ across problems.
 Falls back to ``jnp.linalg`` off-TPU (and under ``interpret=True`` for CPU
 tests of the kernel itself).
 
-**Dispatch policy (measured 2026-08, libtpu for v5e):** XLA's batched
-Cholesky now lowers these tiny-batch solves onto the MXU (blocked
-right-looking trailing updates become batched matmuls) and, under
-scan-fused device-time measurement, beats the lane-major VPU kernel at
-n<=24 batches (0.19us vs 2.6us per 256-batch solve) and ties at B=4096.
-``solve_batched``/``solve_multi_batched`` therefore default to XLA
-Cholesky on TPU; set ``CAR_RACING_TPU_PALLAS_SOLVE=1`` to select the
-Pallas kernels (kept for regimes/toolchains where XLA's batched
-factorizations regress — they were 38-59x faster than XLA's batched LU
-under per-dispatch measurement on earlier stacks).
+**Dispatch policy (re-measured 2026-08, libtpu for v5e):** with
+dispatch-amortized scan timing (200 reps per measurement — the earlier
+20-rep methodology hid everything under the ~25 ms tunnel dispatch and
+mis-ranked the kernels), the lane-major Pallas kernel solves a
+(256, 20, 20) SPD batch in ~15 us net while XLA's batched Cholesky takes
+~560 us — ~40x.  That single factorization was ~95% of the 256-branch
+sweep's device time at the XLA default.  ``solve_batched``/
+``solve_multi_batched`` therefore default to the PALLAS kernels on TPU;
+set ``CAR_RACING_TPU_PALLAS_SOLVE=0`` to fall back to XLA's batched
+Cholesky.
 """
 
 from __future__ import annotations
@@ -142,7 +142,7 @@ def cholesky_solve_batched(
 def _use_pallas_solve() -> bool:
     return (
         jax.default_backend() == "tpu"
-        and os.environ.get("CAR_RACING_TPU_PALLAS_SOLVE", "0") == "1"
+        and os.environ.get("CAR_RACING_TPU_PALLAS_SOLVE", "1") == "1"
     )
 
 

@@ -32,8 +32,14 @@ def sweep_inputs(S, BR, N, seed=0, dtype=jnp.float32):
 
 
 def measure_sweep(n_devices: int | None = None, branches: int = 256, horizon: int = 10,
-                  reps: int = 20, seed: int = 0):
+                  reps: int = 20, seed: int = 0, fused: bool = True):
     """Time the full branch sweep (build + batched IPM + collective argmin).
+
+    ``fused=True`` (default) runs the ``reps`` sweeps — each with different
+    reference inputs — inside ONE jitted ``lax.scan`` and divides the device
+    time: per-call host timing through the TPU tunnel measures dispatch
+    (tens of ms under load), not the sweep.  ``fused=False`` keeps the
+    per-call-dispatch measurement for comparison.
 
     Returns dict with per-sweep latency, branch solves/s, and mesh shape.
     """
@@ -43,16 +49,42 @@ def measure_sweep(n_devices: int | None = None, branches: int = 256, horizon: in
     Q = jnp.eye(X_DIM, dtype=x0.dtype)
     R = jnp.eye(U_DIM, dtype=x0.dtype)
     w = jnp.asarray(0.8, x0.dtype)
-
-    run = lambda: mesh_mod.branch_sweep(mesh, x0, s_refs, ey_refs, A, B, Q, R, w, horizon)
-    out = run()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
     total_branches = S * branches
+
+    if fused:
+        rng = np.random.default_rng(seed + 1)
+        pert = jnp.asarray(
+            rng.normal(0, 0.01, (reps,) + s_refs.shape), s_refs.dtype
+        )
+
+        @jax.jit
+        def many(pert):
+            def body(acc, dp):
+                best, bU = mesh_mod.branch_sweep(
+                    mesh, x0, s_refs + dp, ey_refs, A, B, Q, R, w, horizon
+                )
+                return acc + bU.sum() + best.sum().astype(w.dtype), None
+
+            acc, _ = jax.lax.scan(body, jnp.asarray(0.0, w.dtype), pert)
+            return acc
+
+        jax.block_until_ready(many(pert))
+        best_t = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(pert))
+            best_t = min(best_t, time.perf_counter() - t0)
+        dt = best_t / reps
+    else:
+        run = lambda: mesh_mod.branch_sweep(
+            mesh, x0, s_refs, ey_refs, A, B, Q, R, w, horizon
+        )
+        jax.block_until_ready(run())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
     return {
         "mesh": dict(mesh.shape),
         "branches": total_branches,
