@@ -3,12 +3,11 @@
 from __future__ import annotations
 
 import os
-import pickle
 
 import numpy as np
 
 from ..ops import track as track_ops
-from ..racing import plotting, policies, simulator, vehicles
+from ..racing import plotting, simulator, vehicles
 from ..utils import params
 from ..utils.constants import X_DIM
 

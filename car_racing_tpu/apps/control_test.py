@@ -5,9 +5,6 @@
 """
 
 import argparse
-import pickle
-
-import numpy as np
 
 from . import common
 from ..racing import policies

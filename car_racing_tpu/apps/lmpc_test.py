@@ -17,8 +17,6 @@ import numpy as np
 from . import common
 from ..racing import policies
 from ..utils import params
-from ..ops import track as track_ops
-import jax.numpy as jnp
 
 
 def lmpc_racing(args):

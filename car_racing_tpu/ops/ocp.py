@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..utils.constants import U_DIM, X_DIM
+from ..utils.constants import X_DIM
 
 
 def prediction_matrices(A_seq: jax.Array, B_seq: jax.Array, C_seq: jax.Array, x0: jax.Array):

@@ -33,7 +33,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models import controllers
 from ..ops import bezier, ipm, ocp, track as track_ops
 from ..utils.constants import U_DIM, X_DIM
 

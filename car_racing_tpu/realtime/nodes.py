@@ -39,7 +39,6 @@ import time
 
 import numpy as np
 
-from ..ops import track as track_ops
 from ..racing import policies, vehicles as veh_mod
 from ..utils import params
 from ..utils.constants import U_DIM, X_DIM

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import U_DIM, X_DIM
+from .constants import X_DIM
 
 
 def _f(x):
