@@ -74,7 +74,9 @@ def main():
             "vs_baseline": round(float(vs_baseline), 4),
         }
         results.append(row)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
+        with open("BENCH_LOCAL.json", "w") as fh:  # incremental: survive cutoffs
+            json.dump(results, fh, indent=1)
 
     track = cast(track_ops.load_track("l_shape", width=0.8))
     track_wide = cast(track_ops.load_track("l_shape", width=1.0))
@@ -189,8 +191,37 @@ def main():
     iters_per_s = total_iters / float(np.percentile(t, 50))
     emit("qp_newton_iters_per_s", iters_per_s, "1/s", iters_per_s / ITERS_TARGET)
 
-    with open("BENCH_LOCAL.json", "w") as fh:
-        json.dump(results, fh, indent=1)
+    # ---- 6. fused racing-game lap (LMPC <-> planner + CBF tracker) ----------
+    rg_param = cast(params.RacingGameParam.default(alpha=0.8))
+    opti = jnp.asarray(
+        np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=","), dtype
+    )
+    s_coef_rg = jnp.asarray([[0.72, 7.5], [0.7, 5.5]], dtype)  # sorted by ey desc
+    ey_coef_rg = jnp.asarray([[0.0, -0.2], [0.0, -0.5]], dtype)
+    rg_steps = 250
+
+    def run_rg():
+        xc0 = j("xcurv0") + jnp.asarray(
+            0.005 * rng.standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]), dtype
+        )
+        return fused.rollout_racing_game(
+            track_wide, bike, lmpc_param, rg_param, sysp, xc0, j("xglob0"),
+            j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+            jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+            jnp.asarray(seed["counter"], jnp.int32),
+            j("lin_points0"), j("lin_input0"),
+            s_coef_rg, ey_coef_rg, opti, n_steps=rg_steps,
+        )
+
+    out = run_rg()
+    block(out)
+    rg_lap = int(out[3])
+    assert 0 < rg_lap < rg_steps, f"fused racing-game lap did not complete ({rg_lap})"
+    s = _timed(run_rg, reps=8, block=block) * 1e3 / rg_steps
+    emit("racing_game_step_latency_p50_fused", np.percentile(s, 50), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 50))
+    emit("racing_game_step_latency_p99_fused", np.percentile(s, 99), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 99))
 
 
 if __name__ == "__main__":

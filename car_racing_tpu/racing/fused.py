@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import controllers
-from ..ops import dynamics, ipm, lmpc_learning, ocp, track as track_ops
+from ..ops import bezier as bezier_mod, dynamics, ipm, lmpc_learning, ocp, track as track_ops
 from ..ops.ipm import _highp
 from ..utils.constants import U_DIM, X_DIM
 from ..utils.params import LMPCParam, MPCCBFParam, MPCParam, SystemParam
@@ -318,6 +318,285 @@ def rollout_lmpc_lap(
     xcurvs = jnp.concatenate([xcurvs, xcurv_T[None]], axis=0)
     lap_steps = jnp.sum(~dones)
     return xcurvs, us, dones, lap_steps
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters"),
+)
+@_highp
+def rollout_racing_game(
+    track: track_ops.Track,
+    bike_params: dynamics.BicycleParams,
+    lmpc_param: LMPCParam,
+    rg_param,  # RacingGameParam
+    sys_param: SystemParam,
+    xcurv0: jax.Array,
+    xglob0: jax.Array,
+    ss_prev: jax.Array,  # (P, X_DIM) lap iter-1 safe set (sentinel-padded)
+    qfun_prev: jax.Array,  # (P,)
+    ss_prev2: jax.Array,  # (P, X_DIM) lap iter-2
+    qfun_prev2: jax.Array,  # (P,)
+    u_prev_lap: jax.Array,  # (P, U_DIM)
+    u_prev2_lap: jax.Array,  # (P, U_DIM)
+    valid_prev: jax.Array,  # (P,)
+    valid_prev2: jax.Array,  # (P,)
+    counter: jax.Array,  # () int32
+    lin_points0: jax.Array,  # (N_lmpc+1, X_DIM)
+    lin_input0: jax.Array,  # (N_lmpc, U_DIM)
+    obs_s_coef: jax.Array,  # (n_veh, deg+1) s(t) polynomials, SORTED ey desc
+    obs_ey_coef: jax.Array,  # (n_veh, deg+1)
+    opti_traj_xcurv: jax.Array,  # (T, X_DIM) stored raceline
+    n_steps: int = 300,
+    control_dt: float = 0.1,
+    sub_dt: float = 0.001,
+    tracker_iters: int = 20,
+):
+    """The FLAGSHIP path fully fused: one on-device racing-game lap.
+
+    Every control step runs the reference's LMPCRacingGame dispatch
+    (base.py:456-583) inside one ``lax.scan``: proximity triggers
+    (planner_helper.py:218-266) select via ``lax.cond`` between
+
+    - the LMPC learning step (regression + safe-set selection + convex-hull
+      terminal QP — the rollout_lmpc_lap body), and
+    - the overtake step: Bezier corridor references (ops/bezier.py), the
+      corridor branch-QP batch (planning/overtake._solve_branch_batch — the
+      component the reference forks one OS process per branch for),
+      kinematic fallback, progress/collision/hysteresis branch selection,
+      and the warm-started multi-agent CBF tracker.
+
+    Prescribed traffic follows polynomial (s(t), ey(t)) schedules with
+    constant ey, pre-sorted by ey (descending) by the caller — so the
+    corridor ordering is static, the one host-side decision of the
+    reference planner that cannot be a runtime mask.  Every active obstacle
+    participates in the corridor problem whenever ANY obstacle is of
+    interest (the reference restricts to vehicles-of-interest; with the CI
+    traffic patterns these coincide during overtakes).
+
+    Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U),
+    overtake_flags (n_steps,) bool, lap_steps).
+    """
+    from ..ops import lmpc_learning as _ll
+    from ..planning import overtake as _ov
+
+    N = lmpc_param.num_horizon
+    Np = rg_param.num_horizon_planner
+    Nc = rg_param.num_horizon_ctrl
+    K = lmpc_param.num_ss_points
+    K_per = K // lmpc_param.num_ss_iter
+    dtype = xcurv0.dtype
+    L = track.lap_length.astype(dtype)
+    W = track.width.astype(dtype)
+    P = ss_prev.shape[0]
+    n_u = N * U_DIM
+    n_veh = obs_s_coef.shape[0]
+    n_br = n_veh + 1
+    veh_len, veh_wid = jnp.asarray(0.4, dtype), jnp.asarray(0.2, dtype)
+    agent_half = jnp.stack([veh_len / 2, veh_wid / 2])
+    obs_halfs = jnp.broadcast_to(agent_half, (n_veh, 2))
+    obs_vs = jax.vmap(jnp.polyder)(obs_s_coef)
+    obs_vey = jax.vmap(jnp.polyder)(obs_ey_coef)
+
+    u_data = jnp.stack([u_prev2_lap, u_prev_lap])
+    valid = jnp.stack([valid_prev2, valid_prev])
+
+    z_warm_cold = jnp.zeros(n_u + K, dtype).at[n_u:].set(1.0 / K)
+    # cold-equivalent primal-dual triple for the tracker's CBF problem
+    nz_t = Nc * U_DIM + n_veh * (Nc + 1)
+    m_t = 2 * Nc * U_DIM + 4 * Nc + n_veh * (Nc + 1) + n_veh * Nc
+    warm_ma_cold = (
+        jnp.zeros(nz_t, dtype).at[Nc * U_DIM :].set(0.1),
+        jnp.full((m_t,), 1.0, dtype),
+        jnp.full((m_t,), 0.1, dtype),
+    )
+
+    def obs_forecast(t, horizon):
+        ts = t + control_dt * jnp.arange(horizon + 1, dtype=dtype)
+        s = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_s_coef)
+        ey = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_ey_coef)
+        vs = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_vs)
+        vey = jax.vmap(lambda c: jnp.polyval(c, ts))(obs_vey)
+        zeros = jnp.zeros_like(s)
+        return jnp.stack([vs, vey, zeros, zeros, s, ey], axis=2)
+
+    def lmpc_branch(op):
+        x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir = op
+        curvs = track_ops.curvature_batch(track, jnp.mod(lin_points[:N, 4], L))
+        A_tv, B_tv, C_tv = _ll.estimate_abc_horizon(
+            lin_points[:N], lin_input[:N], jnp.stack([ss_prev2, ss1]), u_data,
+            valid, curvs, jnp.asarray(control_dt, dtype),
+        )
+        pts1, q1 = _ll.select_points(ss1, qfun_prev, x, K_per, lmpc_param.shift)
+        pts2, q2 = _ll.select_points(ss_prev2, qfun_prev2, x, K_per, lmpc_param.shift)
+        U, X, sol = controllers.lmpc(
+            x, lmpc_param, A_tv, B_tv, C_tv,
+            jnp.concatenate([pts1, pts2], axis=1), jnp.concatenate([q1, q2]),
+            u_prev, sys_param, L, W, z_warm=z_warm, num_horizon=N,
+        )
+        lin_points_next = jnp.concatenate([X[1:], X[-1:]], axis=0)
+        lin_input_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        z_warm_next = jnp.concatenate([U[1:].reshape(-1), U[-1], sol.z[n_u:]])
+        # the overtake episode (if any) ended: tracker restarts cold, the
+        # direction hysteresis resets (host: policies.py LMPC branch)
+        return (
+            U[0], lin_points_next, lin_input_next, U[0], z_warm_next,
+            warm_ma_cold, jnp.asarray(-1, jnp.int32),
+        )
+
+    def overtake_branch(op):
+        x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir = op
+        obs_trajs = obs_forecast(t, Np)  # (n_veh, Np+1, X)
+        veh_infos = jnp.stack(
+            [obs_trajs[:, 0, 4], obs_trajs[:, :, 5].max(axis=1), obs_trajs[:, :, 5].min(axis=1)],
+            axis=1,
+        )
+        max_delta_v = jnp.max(jnp.abs(x[0] - obs_trajs[:, 0, 0]))
+        cp = bezier_mod.corridor_control_points(
+            n_veh, x, veh_infos, max_delta_v, L, W, veh_wid,
+            opti_traj_xcurv, rg_param.planning_prediction_factor,
+        )
+        bez = bezier_mod.sample_corridors(cp, Np + 1)  # (n_br, Np+1, 2)
+
+        # neighbor rows + gates (planning/overtake.py get_local_traj)
+        s_pred = x[4] + jnp.arange(Np + 1, dtype=dtype) * control_dt * x[0]
+        obs_s_w = jnp.mod(obs_trajs[:, :, 4], L)  # (n_veh, Np+1)
+        obs_ey = obs_trajs[:, :, 5]
+        gate_of = jnp.abs(s_pred[None] - obs_s_w) <= veh_len + 0.15  # (n_veh, Np+1)
+        br = jnp.arange(n_br)
+        li = jnp.clip(br - 1, 0, n_veh - 1)
+        ri = jnp.clip(br, 0, n_veh - 1)
+        left_ey = obs_ey[li]
+        left_gate = gate_of[li] & (br >= 1)[:, None]
+        right_ey = obs_ey[ri]
+        right_gate = gate_of[ri] & (br < n_veh)[:, None]
+
+        X_all, _, conv = _ov._solve_branch_batch(
+            x, rg_param.A, rg_param.B, W, veh_wid, bez,
+            left_ey[:, :Np], left_gate[:, :Np], right_ey[:, :Np], right_gate[:, :Np],
+            num_horizon=Np,
+        )
+        # kinematic fallback for unconverged branches (overtake_traj_planner.py:365-374)
+        stmp = x[4] + 1.1 * jnp.arange(Np + 1, dtype=dtype) * control_dt * x[0]
+
+        def kin_branch(bez_b):
+            sclip = jnp.clip(stmp, bez_b[0, 0], bez_b[-1, 0])
+            Xk = jnp.zeros((Np + 1, X_DIM), dtype)
+            Xk = Xk.at[:, 0].set(1.1 * x[0])
+            Xk = Xk.at[:, 4].set(stmp)
+            return Xk.at[:, 5].set(jnp.interp(sclip, bez_b[:, 0], bez_b[:, 1]))
+
+        X_kin = jax.vmap(kin_branch)(bez)
+        X_all = jnp.where(conv[:, None, None], X_all, X_kin)
+
+        # branch selection (overtake_traj_planner.py:205-244)
+        cost_sel = -10.0 * (X_all[:, -1, 4] - X_all[:, 0, 4])
+        ds = X_all[:, None, :, 4] - obs_s_w[None]  # (n_br, n_veh, Np+1)
+        dey = X_all[:, None, :, 5] - obs_ey[None]
+        viol = (ds**2 + dey**2 - veh_len**2 - veh_wid**2 < 0.0).sum(axis=2)  # (n_br, n_veh)
+        is_side = ((jnp.arange(n_veh)[None] == (br - 1)[:, None]) & (br >= 1)[:, None]) | (
+            (jnp.arange(n_veh)[None] == br[:, None]) & (br < n_veh)[:, None]
+        )
+        cost_sel = cost_sel + 100.0 * jnp.sum(jnp.where(is_side, viol, 0), axis=1)
+        cost_sel = cost_sel + jnp.where(
+            (old_dir >= 0) & (br != old_dir), 100.0, 0.0
+        )
+        direction = jnp.argmin(cost_sel)
+        target = X_all[direction]  # (Np+1, X)
+
+        # multi-agent CBF tracker on the planned trajectory (policies.py)
+        s_stage = jnp.clip(
+            x[0] * control_dt * jnp.arange(1, Nc + 1, dtype=dtype) + x[4],
+            target[0, 4], target[-1, 4],
+        )
+        ey_t = jnp.interp(s_stage, target[:, 4], target[:, 5])
+        x_targets = jnp.zeros((Nc, X_DIM), dtype).at[:, 0].set(x[0]).at[:, 5].set(ey_t)
+        obs_trajs_c = obs_forecast(t, Nc)
+        gate = controllers.obstacle_gate_mask(x, obs_trajs_c[:, 0, 4], L)
+        u0, U, Xp, sol = controllers.mpc_multi_agents(
+            x, x_targets, rg_param.A, rg_param.B, rg_param.Q, rg_param.R,
+            sys_param, W, obs_trajs_c, gate, agent_half, obs_halfs, L,
+            warm=warm_ma, iters=tracker_iters,
+        )
+        warm_ma_next = controllers.shift_cbf_warm(sol, Nc, n_veh)
+        lin_points_next = jnp.concatenate([Xp[1:], Xp[-1:]], axis=0)
+        lin_input_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        pad_p = N + 1 - lin_points_next.shape[0]
+        pad_u = N - lin_input_next.shape[0]
+        lin_points_next = jnp.concatenate(
+            [lin_points_next] + [lin_points_next[-1:]] * pad_p, axis=0
+        )
+        lin_input_next = jnp.concatenate(
+            [lin_input_next] + [lin_input_next[-1:]] * pad_u, axis=0
+        )
+        # u_prev (the LMPC input-rate anchor) and the LMPC warm start are NOT
+        # advanced during overtakes (host: u_pred/_z_warm only set on the
+        # LMPC branch; _z_warm invalidated -> cold restart after the episode)
+        return (
+            u0, lin_points_next, lin_input_next, u_prev, z_warm_cold,
+            warm_ma_next, direction.astype(jnp.int32),
+        )
+
+    def step(carry, k):
+        (xcurv, xglob, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma,
+         old_dir, done) = carry
+        x = xcurv.at[4].set(jnp.mod(xcurv[4], L))
+        t = k.astype(dtype) * control_dt
+
+        # overtake trigger (check_ego_agent_distance, planner_helper.py:218-266)
+        obs_now = obs_forecast(t, 0)[:, 0]  # (n_veh, X)
+        s_a = jnp.mod(obs_now[:, 4], L)
+        s_e = x[4]
+        delta_v = jnp.abs(x[0] - obs_now[:, 0])
+        front = rg_param.safety_factor * veh_len + rg_param.planning_prediction_factor * delta_v
+        behind = veh_len
+        within = lambda d, lim: (d >= 0) & (d <= lim)
+        interest = (
+            within(s_a - s_e, front)
+            | within(s_a + L - s_e, front)
+            | within(s_e - s_a, behind)
+            | within(s_e + L - s_a, behind)
+        )
+        overtake = jnp.any(interest)
+
+        op = (x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir)
+        (u, lin_points_n, lin_input_n, u_prev_n, z_warm_n, warm_ma_n, old_dir_n) = (
+            jax.lax.cond(overtake, overtake_branch, lmpc_branch, op)
+        )
+
+        xglob_next, xcurv_next = dynamics.propagate(
+            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+        )
+        done_next = done | (xcurv_next[4] >= L)
+
+        idx = jnp.clip(counter + k + 1, 0, P - 1)
+        appended = x + jnp.zeros(X_DIM, dtype).at[4].set(L)
+        ss1_next = jnp.where(done, ss1, ss1.at[idx].set(appended))
+
+        frozen = lambda new, old: jnp.where(done, old, new)
+        carry_next = (
+            frozen(xcurv_next, xcurv),
+            frozen(xglob_next, xglob),
+            ss1_next,
+            frozen(lin_points_n, lin_points),
+            frozen(lin_input_n, lin_input),
+            frozen(u_prev_n, u_prev),
+            frozen(z_warm_n, z_warm),
+            jax.tree.map(frozen, warm_ma_n, warm_ma),
+            jnp.where(done, old_dir, old_dir_n),
+            done_next,
+        )
+        return carry_next, (xcurv, u, overtake & ~done, done)
+
+    init = (
+        xcurv0, xglob0, ss_prev, lin_points0, lin_input0,
+        jnp.zeros(U_DIM, dtype), z_warm_cold, warm_ma_cold,
+        jnp.asarray(-1, jnp.int32), jnp.asarray(False),
+    )
+    final, (xcurvs, us, ot_flags, dones) = jax.lax.scan(step, init, jnp.arange(n_steps))
+    xcurvs = jnp.concatenate([xcurvs, final[0][None]], axis=0)
+    lap_steps = jnp.sum(~dones)
+    return xcurvs, us, ot_flags, lap_steps
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))

@@ -90,6 +90,48 @@ def test_fused_mpccbf_rollout_avoids_obstacles():
     assert np.abs(us[:, 1]).max() <= 1.0 + 1e-6
 
 
+def test_fused_racing_game_lap():
+    """The FLAGSHIP path fully fused: one on-device racing-game lap (LMPC
+    dispatch <-> corridor branch planner + warm-started multi-agent CBF
+    tracker via lax.cond) against the CI traffic pattern.  Must complete
+    the lap faster than the PID seed lap, trigger real overtake steps,
+    avoid both cars, and stay on track."""
+    import jax.numpy as jnp
+
+    seed = np.load("data/bench/lmpc_seed_l_shape.npz")
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    opti = np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=",")
+    j = lambda k: jnp.asarray(seed[k])
+    # traffic of tests/test_racing_game.py, pre-sorted by ey descending
+    s_coef = np.array([[0.72, 7.5], [0.7, 5.5]])
+    ey_coef = np.array([[0.0, -0.2], [0.0, -0.5]])
+    xc, us, ot, lap_steps = fused.rollout_racing_game(
+        track, dynamics.BicycleParams.default(),
+        params.LMPCParam.default(), params.RacingGameParam.default(alpha=0.8),
+        params.SystemParam.default(), j("xcurv0"), j("xglob0"),
+        j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+        jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+        jnp.asarray(seed["counter"], jnp.int32),
+        j("lin_points0"), j("lin_input0"),
+        jnp.asarray(s_coef), jnp.asarray(ey_coef), jnp.asarray(opti),
+        n_steps=300,
+    )
+    lap_steps = int(lap_steps)
+    xc = np.asarray(xc)
+    assert 0 < lap_steps < 300, "fused racing-game lap never completed"
+    assert lap_steps < int(seed["pid_lap_steps"])  # beats the seed PID lap
+    assert int(np.asarray(ot).sum()) > 0, "no overtake step ever triggered"
+    assert np.isfinite(xc[:lap_steps]).all()
+    assert np.abs(xc[:lap_steps, 5]).max() < 1.0  # on track
+    L = float(track.lap_length)
+    t = np.arange(len(xc)) * 0.1
+    for cs, ce in zip(s_coef, ey_coef):
+        ds = np.abs(np.mod(xc[:, 4] - np.polyval(cs, t) + L / 2, L) - L / 2)
+        dey = np.abs(xc[:, 5] - np.polyval(ce, t))
+        assert not ((ds < 0.9 * 0.4) & (dey < 0.9 * 0.2))[:lap_steps].any()
+
+
 def test_fused_batch_rollout():
     spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
     track = track_ops.build_track(spec, width=0.8)
