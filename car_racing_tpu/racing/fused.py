@@ -109,7 +109,8 @@ def rollout_mpccbf(
     reuses the previous primal-dual iterate at the shorter warm budget,
     exactly like the host-side MPCCBFRacing policy.
 
-    Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U), kkt (n_steps,)).
+    Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U), kkt (n_steps,),
+    iters (n_steps,) int32 — real per-solve Newton-iteration counts).
     """
     N = cbf_param.num_horizon
     dtype = xcurv0.dtype
@@ -166,14 +167,77 @@ def rollout_mpccbf(
         u, U, _, sol = solve(xcurv, t, warm, warm_iters)
         xcurv_next, xglob_next = advance(xcurv, xglob, u)
         warm_next = controllers.shift_cbf_warm(sol, N, n_obs)
-        return (xcurv_next, xglob_next, warm_next), (xcurv, u, sol.kkt_res)
+        return (xcurv_next, xglob_next, warm_next), (xcurv, u, sol.kkt_res, sol.iterations)
 
-    (xcurv_T, _, _), (xcurvs, us, kkts) = jax.lax.scan(
+    (xcurv_T, _, _), (xcurvs, us, kkts, its) = jax.lax.scan(
         step, (xcurv1, xglob1, warm0), jnp.arange(n_steps - 1)
     )
     xcurvs = jnp.concatenate([xcurv0[None], xcurvs, xcurv_T[None]], axis=0)
     us = jnp.concatenate([u0[None], us], axis=0)
-    return xcurvs, us, kkts
+    return xcurvs, us, kkts, its
+
+
+@partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+@_highp
+def rollout_ilqr(
+    track: track_ops.Track,
+    bike_params: dynamics.BicycleParams,
+    ilqr_param,
+    xtarget: jax.Array,
+    xcurv0: jax.Array,
+    xglob0: jax.Array,
+    obs_s_coef: jax.Array,  # (deg+1,) polynomial s(t) of the ONE obstacle
+    obs_ey_coef: jax.Array,  # (deg+1,) polynomial ey(t)
+    agent_half: jax.Array,  # (2,) ego (length/2, width/2)
+    obs_half: jax.Array,  # (2,)
+    n_steps: int = 100,
+    control_dt: float = 0.1,
+    sub_dt: float = 0.001,
+):
+    """Closed-loop iLQR racing entirely on-device.
+
+    The reference's heaviest per-step solve (max_iter=150, N=50 —
+    control.py:64-195) fused like the other controllers: each scan step
+    forecasts the prescribed obstacle (polynomial (s(t), ey(t)) like the
+    reference's NoDynamics car), runs the full iLQR solve (backward Riccati
+    + accept/reject Levenberg schedule under a while_loop that exits early
+    on convergence), then one control period of Euler substeps.  A single
+    obstacle, replicating the reference's keep-only-the-last-listed-vehicle
+    behavior (control.py:100-110).
+
+    Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U)).
+    """
+    N = ilqr_param.num_horizon
+    dtype = xcurv0.dtype
+    L = track.lap_length.astype(dtype)
+    obs_vs = jnp.polyder(obs_s_coef)
+    obs_vey = jnp.polyder(obs_ey_coef)
+
+    def obs_forecast(t):
+        ts = t + control_dt * jnp.arange(N + 1, dtype=dtype)
+        s = jnp.polyval(obs_s_coef, ts)
+        ey = jnp.polyval(obs_ey_coef, ts)
+        vs = jnp.polyval(obs_vs, ts)
+        vey = jnp.polyval(obs_vey, ts)
+        zeros = jnp.zeros_like(s)
+        return jnp.stack([vs, vey, zeros, zeros, s, ey], axis=1)  # (N+1, X)
+
+    def step(carry, k):
+        xcurv, xglob = carry
+        t = k.astype(dtype) * control_dt
+        u = controllers.ilqr(
+            xcurv, xtarget, ilqr_param, obs_forecast(t), agent_half, obs_half
+        )
+        xglob_next, xcurv_next = dynamics.propagate(
+            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+        )
+        return (xcurv_next, xglob_next), (xcurv, u)
+
+    (xcurv_T, _), (xcurvs, us) = jax.lax.scan(
+        step, (xcurv0, xglob0), jnp.arange(n_steps)
+    )
+    xcurvs = jnp.concatenate([xcurvs, xcurv_T[None]], axis=0)
+    return xcurvs, us
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))

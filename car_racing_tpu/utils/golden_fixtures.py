@@ -75,7 +75,7 @@ def _scenarios():
     s_coef[1], ey_coef[1], act[1] = [0.2, 10.0], [0.0, -0.1], True
     halfs = np.ones((n_obs, 2))
     halfs[:2] = [0.2, 0.1]
-    xc, us, kkt = fused.rollout_mpccbf(
+    xc, us, kkt, _ = fused.rollout_mpccbf(
         track_w, bike, cbf_param, sysp, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         jnp.asarray(s_coef), jnp.asarray(ey_coef), jnp.asarray(act),
         jnp.asarray(halfs), jnp.asarray([0.2, 0.1]), n_steps=200,

@@ -67,7 +67,7 @@ def test_fused_mpccbf_rollout_avoids_obstacles():
     halfs = np.ones((n_obs, 2))
     halfs[:2] = [0.2, 0.1]
     n_steps = 150
-    xc, us, kkt = fused.rollout_mpccbf(
+    xc, us, kkt, its = fused.rollout_mpccbf(
         track, bike, cbf_param, sysp, jnp.asarray([0.8, 0, 0, 0, 0, 0.0]),
         jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         jnp.asarray(s_coef), jnp.asarray(ey_coef), jnp.asarray(act),
@@ -84,10 +84,72 @@ def test_fused_mpccbf_rollout_avoids_obstacles():
         assert not ((ds < 0.85 * 0.4) & (dey < 0.85 * 0.2)).any()
     # warm-started solves stay converged (same gate as tests/test_mpccbf.py)
     assert np.percentile(np.asarray(kkt), 50) < 1e-3
+    # iteration counts are REAL per-solve first-pass-under-tol counts, not a
+    # constant fill: warm-started solves must show spread and finish early
+    its = np.asarray(its)
+    assert its.min() >= 0 and its.max() <= 20
+    assert len(np.unique(its)) > 1, "iteration counts look like a constant fill"
     # input bounds respected
     us = np.asarray(us)
     assert np.abs(us[:, 0]).max() <= 0.5 + 1e-6
     assert np.abs(us[:, 1]).max() <= 1.0 + 1e-6
+
+
+def test_fused_ilqr_matches_host_loop():
+    """Fused on-device iLQR loop vs the host iLQRRacing policy on the
+    blocking-car scenario of tests/test_ilqr.py: same solver, same dynamics,
+    same prescribed obstacle — trajectories must agree."""
+    spec = np.genfromtxt("data/track_layout/ellipse.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    ilqr_param = params.ILQRParam.default(vt=0.8)
+    sysp = params.SystemParam.default()
+    bike = dynamics.BicycleParams.default()
+    obs_s, obs_ey = [0.2, 5.0], [0.0, 0.1]
+    n_steps = 100
+
+    half = jnp.asarray([0.2, 0.1])
+    xtarget = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
+    xc, us = fused.rollout_ilqr(
+        track, bike, ilqr_param, xtarget, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        jnp.asarray(obs_s), jnp.asarray(obs_ey), half, half, n_steps=n_steps,
+    )
+    xc = np.asarray(xc)
+
+    # behavior: follows the leader without collision (tests/test_ilqr.py gates)
+    tail = xc[n_steps // 2 :]
+    assert 0.1 < tail[:, 0].mean() < 0.45
+    t = np.arange(len(xc)) * 0.1
+    s_obs = np.polyval(obs_s, t)
+    assert (s_obs - xc[:, 4] > 0.3).all()
+
+    # host loop on the same scenario
+    ego = vehicles.DynamicBicycleModel(name="ego", system_param=sysp)
+    ego.set_zero_noise()
+    ego.set_state_curvilinear(np.zeros(X_DIM))
+    ego.set_state_global(np.zeros(X_DIM))
+    ego.start_logging()
+    policy = policies.iLQRRacing(ilqr_param, sysp)
+    policy.set_timestep(0.1)
+    policy.set_track(track)
+    ego.set_ctrl_policy(policy)
+    ego.set_track(track)
+    car1 = vehicles.NoDynamicsModel(name="car1")
+    car1.set_track(track)
+    car1.set_state_curvilinear_func(obs_s, obs_ey)
+    car1.start_logging()
+    sim = simulator.CarRacingSim()
+    sim.set_timestep(0.1)
+    sim.set_track(track)
+    sim.add_vehicle(ego)
+    policy.set_racing_sim(sim)
+    sim.add_vehicle(car1)
+    sim.sim(sim_time=n_steps * 0.1)
+    host_traj = np.asarray(ego.xcurv_log)
+
+    m = min(len(host_traj), n_steps)
+    np.testing.assert_allclose(xc[1 : m + 1, 0], host_traj[:m, 0], atol=2e-2)
+    np.testing.assert_allclose(xc[1 : m + 1, 4], host_traj[:m, 4], atol=5e-2)
+    np.testing.assert_allclose(xc[1 : m + 1, 5], host_traj[:m, 5], atol=2e-2)
 
 
 def test_fused_racing_game_lap():
