@@ -14,8 +14,11 @@ Metrics (BASELINE.md: MPC solve latency p50/p99 and solver iters/s):
   nonconvex CBF solves (the reference's ~2 ms/step IPOPT hot path)
 - lmpc_step_latency_p99_fused   — fused LMPC learning-lap step: local
   regression + safe-set selection + convex-hull terminal QP + dynamics
-- branch_sweep_256_latency_p99  — 256-branch racing-game sweep (build +
-  batched IPM + best-branch selection), parallel/scaling.measure_sweep
+- branch_sweep_256_latency      — 256-branch racing-game corridor sweep:
+  the planner's REAL corridor QP (no-overlap rows, Bezier references,
+  kinematic fallback, collective selection), parallel/scaling.measure_sweep
+- scaling_efficiency_projected_8dev — analytic comm-vs-compute projection
+  of 8-device scaling efficiency from the measured single-chip sweep
 - qp_newton_iters_per_s         — Newton iterations/s through the batched
   QP IPM (real per-problem convergence counts from solve_qp_batch)
 - cbf_newton_iters_per_s        — Newton iterations/s on the nonconvex CBF
@@ -59,7 +62,7 @@ def main():
     import jax.numpy as jnp
 
     from car_racing_tpu.ops import dynamics, ipm, track as track_ops
-    from car_racing_tpu.parallel import mesh as mesh_mod, scaling
+    from car_racing_tpu.parallel import scaling
     from car_racing_tpu.racing import fused
     from car_racing_tpu.utils import params
     from car_racing_tpu.utils.constants import U_DIM, X_DIM
@@ -207,26 +210,44 @@ def main():
     emit("lmpc_lap_speedup_vs_pid_seed", float(seed["pid_lap_steps"]) / lap_steps,
          "x", float(seed["pid_lap_steps"]) / lap_steps)
 
-    # ---- 4. 256-branch racing-game sweep ------------------------------------
-    sweep = scaling.measure_sweep(n_devices=1, branches=256, horizon=10, reps=20)
+    # ---- 4. 256-branch racing-game corridor sweep ---------------------------
+    # the planner's REAL corridor QP (corridor rows, Bezier references,
+    # fallback, collective selection): 64 scenarios x 4 corridors
+    sweep = scaling.measure_sweep(n_devices=1, total_branches=256, horizon=10, reps=20)
     emit("branch_sweep_256_latency", sweep["sweep_latency_ms"], "ms",
          LATENCY_TARGET_MS / sweep["sweep_latency_ms"])
     emit("branch_solves_per_s", sweep["branch_solves_per_s"], "1/s",
          sweep["branch_solves_per_s"] / SWEEP_SOLVES_TARGET)
+    # analytic comm-vs-compute projection of 8-device efficiency from the
+    # TPU-measured single-chip sweep (multi-chip silicon unavailable);
+    # target >= 0.8 (BASELINE.md)
+    proj = scaling.analytic_projection(sweep["sweep_latency_ms"], 8)
+    emit("scaling_efficiency_projected_8dev", proj["projected_efficiency"],
+         "ratio", proj["projected_efficiency"] / 0.8)
 
-    # ---- 5. solver Newton iterations/s (real per-problem counts) -----------
-    B, N = 256, 10
-    x0, s_refs, ey_refs, A, B_lti = scaling.sweep_inputs(1, B, N, seed=1, dtype=dtype)
-    Q = jnp.eye(X_DIM, dtype=dtype)
-    R = jnp.eye(U_DIM, dtype=dtype)
-    build = jax.vmap(
-        lambda sr, er: mesh_mod._branch_tracking_qp_build(
-            A, B_lti, N, Q, R, x0[0], sr, er, jnp.asarray(0.8, dtype), dtype
-        )
-    )
-    qp_batch = build(s_refs[0], ey_refs[0])
-    z0 = jnp.zeros((B, N * U_DIM), dtype)
-    solve = jax.jit(lambda qp: ipm.solve_qp_batch(qp, z0, iters=20))
+    # ---- 5. solver Newton iterations/s (real per-problem counts through
+    # the batched QP IPM, on the 256-corridor-QP batch) ----------------------
+    N = 10
+    from car_racing_tpu.planning import overtake as ov
+    ci = scaling.corridor_sweep_inputs(64, N, seed=1, dtype=dtype)
+    x0c, A_c, B_c, width_c, veh_w_c = ci[0], ci[1], ci[2], ci[3], ci[4]
+    bez_c, ley_c, lg_c, rey_c, rg_c = ci[6], ci[7], ci[8], ci[9], ci[10]
+
+    @jax.jit
+    def build_corridor_batch():
+        def per_scen(x0s, bezs, leys, lgs, reys, rgs):
+            phi, G, s_pred = ov.corridor_context(x0s, A_c, B_c, N)
+            return jax.vmap(
+                lambda b, a1, a2, a3, a4: ov.corridor_branch_qp(
+                    phi, G, s_pred, width_c, veh_w_c, b, a1, a2, a3, a4, N
+                )
+            )(bezs, leys[:, :N], lgs[:, :N], reys[:, :N], rgs[:, :N])
+        nested = jax.vmap(per_scen)(x0c, bez_c, ley_c, lg_c, rey_c, rg_c)
+        return jax.tree.map(lambda a: a.reshape((256,) + a.shape[2:]), nested)
+
+    qp_batch = block(build_corridor_batch())
+    z0 = jnp.zeros((256, N * U_DIM), dtype)
+    solve = jax.jit(lambda qp: ipm.solve_qp_batch(qp, z0, iters=30))
     sol = block(solve(qp_batch))
     total_iters = int(np.sum(np.asarray(sol.iterations)))
     t = _timed(lambda: solve(qp_batch), reps=20, block=block)

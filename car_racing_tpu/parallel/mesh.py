@@ -1,16 +1,22 @@
-"""Device-mesh parallelism: branch/scenario sweeps over TPU meshes.
+"""Device-mesh parallelism: the racing game's corridor branch sweep over
+TPU meshes.
 
-The reference's parallelism is one OS process per overtake branch with
-results gathered through Manager dicts (overtake_traj_planner.py:177-204)
-plus ROS pub/sub between realtime nodes.  The TPU-native design (SURVEY §2
-parallelism inventory): branch batches are vmapped per chip and sharded
-across a mesh with ``shard_map``; best-branch selection and safe-set
-exchange ride XLA collectives over ICI.
+The reference's flagship parallel component is the overtake trajectory
+planner's per-corridor NLP fan-out — one OS process per corridor, results
+gathered through Manager dicts (overtake_traj_planner.py:177-204), branch
+selection on the host (:205-244).  The TPU-native design (SURVEY §2
+parallelism inventory): the SAME corridor QP the planner solves
+(planning/overtake.corridor_branch_qp — Bezier references, gated corridor
+no-overlap rows, kinematic fallback, progress/collision/hysteresis
+selection) is vmapped per chip and sharded across a mesh with
+``shard_map``; best-branch selection rides XLA collectives
+(all_gather + psum) over ICI instead of Manager dicts.
 
 Axes:
-- ``scenario`` — data parallelism over independent simulations / vehicles
+- ``scenario`` — data parallelism over independent racing games / vehicles
   (the DP analog for this workload).
-- ``branch``   — the overtake-corridor sweep (scenario/branch parallelism).
+- ``branch``   — the overtake-corridor sweep within each scenario
+  (scenario/branch parallelism).
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import ipm, ocp
+from ..planning import overtake as ov
 from ..utils.constants import U_DIM, X_DIM
 
 
@@ -35,161 +42,139 @@ def make_mesh(n_devices: int | None = None):
     return Mesh(np.asarray(devs).reshape(shape), ("scenario", "branch"))
 
 
-def _branch_tracking_qp_build(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype):
-    """Build a per-branch condensed QP (progress + reference tracking +
-    bounds) — the problem each mesh shard batches over its local branches."""
-    A_seq, B_seq, C_seq = ocp.lti_sequences(A, B, N)
-    phi, G = ocp.condense(A_seq, B_seq, C_seq, x0)
-    n_u = N * U_DIM
-    sel_s = jnp.arange(N) * X_DIM + 4
-    sel_ey = jnp.arange(N) * X_DIM + 5
-    G_s, p_s = G[sel_s], phi[sel_s]
-    G_ey, p_ey = G[sel_ey], phi[sel_ey]
-    H = 2 * 20.0 * (G_ey.T @ G_ey + G_s.T @ G_s) + 1e-6 * jnp.eye(n_u, dtype=dtype)
-    g = 2 * 20.0 * (G_ey.T @ (p_ey - ey_ref) + G_s.T @ (p_s - s_ref))
-    g = g - 200.0 * G[-X_DIM + 4]
-    I_u = jnp.eye(n_u, dtype=dtype)
-    C = jnp.concatenate([I_u, -I_u, G_ey, -G_ey], axis=0)
-    d = jnp.concatenate(
-        [
-            jnp.tile(jnp.asarray([-0.5, -1.5], dtype), N),
-            -jnp.tile(jnp.asarray([0.5, 1.5], dtype), N),
-            -width - p_ey,
-            p_ey - width,
-        ]
-    )
-    return ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
-
-
-def _branch_tracking_qp(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype):
-    """Single-problem convenience wrapper (oracle for tests)."""
-    qp = _branch_tracking_qp_build(A, B, N, Q, R, x0, s_ref, ey_ref, width, dtype)
-    sol = ipm.solve_qp(qp, jnp.zeros(qp.H.shape[0], dtype), iters=20)
-    cost = 0.5 * sol.z @ qp.H @ sol.z + qp.g @ sol.z
-    return sol.z, cost
+def make_branch_mesh(n_devices: int | None = None):
+    """Mesh with every device on the 'branch' axis (scenario axis 1) — the
+    shape a single racing game's planner dispatch wants: its one scenario's
+    corridors fan out across all chips."""
+    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+    return Mesh(np.asarray(devs).reshape(1, len(devs)), ("scenario", "branch"))
 
 
 _SWEEP_CACHE: dict = {}
 
 
-def branch_sweep(mesh: Mesh, x0_scen: jax.Array, s_refs: jax.Array, ey_refs: jax.Array,
-                 A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array,
-                 width: jax.Array, num_horizon: int = 10):
-    """Sharded racing-game branch sweep + best-branch selection.
+def corridor_sweep(
+    mesh: Mesh,
+    xcurv_ego: jax.Array,  # (S, X_DIM) per-scenario ego states
+    A: jax.Array,
+    B: jax.Array,
+    track_width: jax.Array,
+    veh_width: jax.Array,
+    veh_length: jax.Array,
+    bezier_samples: jax.Array,  # (S, BR, N+1, 2) sampled corridor curves
+    left_ey: jax.Array,  # (S, BR, N+1) left-neighbor ey over the horizon
+    left_gate: jax.Array,  # (S, BR, N+1) bool — QP corridor row active
+    right_ey: jax.Array,  # (S, BR, N+1)
+    right_gate: jax.Array,  # (S, BR, N+1)
+    left_s: jax.Array,  # (S, BR, N+1) left neighbor wrapped s (selection)
+    right_s: jax.Array,  # (S, BR, N+1)
+    left_valid: jax.Array,  # (S, BR) bool — branch has a left neighbor
+    right_valid: jax.Array,  # (S, BR)
+    active: jax.Array,  # (S, BR) bool — False rows are padding (cost +inf)
+    old_dir: jax.Array,  # (S,) int32 previous direction, -1 = none
+    num_horizon: int = 10,
+):
+    """Sharded racing-game corridor branch sweep + collective selection.
 
-    x0_scen: (S, X_DIM) per-scenario ego states (sharded over 'scenario');
-    s_refs/ey_refs: (S, BR, N) per-branch references (BR sharded over
-    'branch').  Returns (best_idx (S,), best_U (S, N*U_DIM)) — the argmin
-    reduction replaces the reference's host-side gather over Manager dicts.
+    Solves, for every scenario, the planner's REAL per-corridor QPs
+    (planning/overtake.corridor_branch_qp) with the kinematic fallback for
+    unconverged branches and the reference's progress/collision/hysteresis
+    selection cost (overtake_traj_planner.py:205-244) as the collective
+    reduction: costs all_gather over the 'branch' axis, argmin, and a psum
+    one-hot gather of the winning trajectory.  Scenarios shard over
+    'scenario', corridors over 'branch'.
+
+    Returns (best (S,) int32 global branch index, X_best (S, N+1, X_DIM),
+    costs (S, BR), converged (S, BR), X_all (S, BR, N+1, X_DIM)).
 
     The compiled sharded program is cached per (mesh, horizon, dtype) so
     repeated sweeps (every overtake control step) pay zero retrace.
     """
     N = num_horizon
-    dtype = x0_scen.dtype
+    dtype = xcurv_ego.dtype
     cache_key = (mesh, N, jnp.dtype(dtype).name)
+    args = (
+        xcurv_ego, A, B, track_width, veh_width, veh_length,
+        bezier_samples, left_ey, left_gate, right_ey, right_gate,
+        left_s, right_s, left_valid, right_valid, active, old_dir,
+    )
     cached = _SWEEP_CACHE.get(cache_key)
     if cached is not None:
-        return cached(x0_scen, s_refs, ey_refs, A, B, Q, R, width)
+        return cached(*args)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P("scenario"),
-            P("scenario", "branch"),
-            P("scenario", "branch"),
-            P(),
-            P(),
-            P(),
-            P(),
-            P(),
+            P("scenario"),  # xcurv_ego
+            P(), P(), P(), P(), P(),  # A, B, widths, length
+            P("scenario", "branch"),  # bezier_samples
+            P("scenario", "branch"), P("scenario", "branch"),  # left ey/gate
+            P("scenario", "branch"), P("scenario", "branch"),  # right ey/gate
+            P("scenario", "branch"), P("scenario", "branch"),  # left/right s
+            P("scenario", "branch"), P("scenario", "branch"),  # valid masks
+            P("scenario", "branch"),  # active
+            P("scenario"),  # old_dir
         ),
-        out_specs=(P("scenario"), P("scenario")),
+        out_specs=(
+            P("scenario"),  # best
+            P("scenario"),  # X_best
+            P("scenario", "branch"),  # costs
+            P("scenario", "branch"),  # converged
+            P("scenario", "branch"),  # X_all
+        ),
         check_vma=False,  # the QP solver's scan carry mixes varying/invariant
     )
-    def sweep(x0_l, s_ref_l, ey_ref_l, A, B, Q, R, width):
-        S_l, BR_l, _ = s_ref_l.shape
+    def sweep(x0_l, A, B, width, veh_w, veh_l, bez_l, ley_l, lg_l, rey_l,
+              rg_l, ls_l, rs_l, lv_l, rv_l, act_l, od_l):
+        S_l, BR_l = bez_l.shape[:2]
         n_u = N * U_DIM
-        # The condensed matrices (G and everything built from it: H, C, and
-        # the phi-dependent d) are *branch-invariant* — only the linear term
-        # g varies with the per-branch references.  Build the shared parts
-        # once per scenario and broadcast, then run ONE flat batched
-        # interior-point solve (a vmapped pallas_call would re-grid the
-        # kernel; one flat batch avoids it).
-        def scen_parts(x0):
-            phi, G = ocp.condense_lti(A, B, N, x0)
-            sel_s = jnp.arange(N) * X_DIM + 4
-            sel_ey = jnp.arange(N) * X_DIM + 5
-            G_s, p_s = G[sel_s], phi[sel_s]
-            G_ey, p_ey = G[sel_ey], phi[sel_ey]
-            H = 2 * 20.0 * (G_ey.T @ G_ey + G_s.T @ G_s) + 1e-6 * jnp.eye(n_u, dtype=dtype)
-            I_u = jnp.eye(n_u, dtype=dtype)
-            C = jnp.concatenate([I_u, -I_u, G_ey, -G_ey], axis=0)
-            d = jnp.concatenate(
-                [
-                    jnp.tile(jnp.asarray([-0.5, -1.5], dtype), N),
-                    -jnp.tile(jnp.asarray([0.5, 1.5], dtype), N),
-                    -width - p_ey,
-                    p_ey - width,
-                ]
-            )
-            return H, C, d, G_s, G_ey, p_s, p_ey, G[-X_DIM + 4]
+        my_rank = jax.lax.axis_index("branch")
+        br_idx = my_rank * BR_l + jnp.arange(BR_l)
 
-        H_s, C_s, d_s, G_s, G_ey, p_s, p_ey, g_prog = jax.vmap(scen_parts)(x0_l)
-
-        def g_of(sidx):
-            def per_branch(sr, er):
-                g = 2 * 20.0 * (
-                    G_ey[sidx].T @ (p_ey[sidx] - er) + G_s[sidx].T @ (p_s[sidx] - sr)
+        def per_scenario(x0, bez_s, ley, lg, rey, rg, ls, rs, lv, rv, act, od):
+            # branch-invariant condensed prediction, built once per scenario
+            phi, G, s_pred = ov.corridor_context(x0, A, B, N)
+            qp_batch = jax.vmap(
+                lambda bez, a, b, c, d: ov.corridor_branch_qp(
+                    phi, G, s_pred, width, veh_w, bez, a, b, c, d, N
                 )
-                return g - 200.0 * g_prog[sidx]
+            )(bez_s, ley[:, :N], lg[:, :N], rey[:, :N], rg[:, :N])
+            sol = ipm.solve_qp_batch(qp_batch, jnp.zeros((BR_l, n_u), dtype), iters=30)
+            X = jax.vmap(lambda z: ocp.unpack_states(phi, G, z, x0))(sol.z)
+            # kinematic fallback for unconverged branches
+            X_kin = jax.vmap(lambda bez: ov.kinematic_fallback_traj(x0, bez, N))(bez_s)
+            X = jnp.where(sol.converged[:, None, None], X, X_kin)
 
-            return per_branch
+            # the reference's selection cost, padding rows forced to +inf
+            costs = jax.vmap(
+                lambda Xb, a, b, c, d, e, f, gidx: ov.branch_selection_cost(
+                    Xb, a, b, c, d, e, f, veh_l, veh_w, od, gidx
+                )
+            )(X, ls, ley, rs, rey, lv, rv, br_idx)
+            costs = jnp.where(act, costs, jnp.inf)
 
-        gs = jnp.stack(
-            [jax.vmap(g_of(s))(s_ref_l[s], ey_ref_l[s]) for s in range(S_l)]
-        )  # (S_l, BR_l, n_u)
-
-        bcast = lambda a: jnp.broadcast_to(a[:, None], (S_l, BR_l) + a.shape[1:])
-        qp_batch = ipm.QP(
-            H=bcast(H_s),
-            g=gs,
-            C=bcast(C_s),
-            d=bcast(d_s),
-            E=jnp.zeros((S_l, BR_l, 0, n_u), dtype),
-            e=jnp.zeros((S_l, BR_l, 0), dtype),
-        )
-        flat = jax.tree.map(lambda a: a.reshape((S_l * BR_l,) + a.shape[2:]), qp_batch)
-        sol = ipm.solve_qp_batch(
-            flat, jnp.zeros((S_l * BR_l, n_u), dtype), iters=20
-        )
-        zs = sol.z.reshape(S_l, BR_l, -1)
-        costs = (
-            0.5 * jnp.einsum("sbi,sbij,sbj->sb", zs, qp_batch.H, zs)
-            + jnp.einsum("sbi,sbi->sb", qp_batch.g, zs)
-        )
-
-        def select(costs_s, zs_s):
-            # global best across the branch axis: gather all shard costs
-            all_costs = jax.lax.all_gather(costs_s, "branch", tiled=False).reshape(-1)
-            best = jnp.argmin(all_costs)
-            n_local = costs_s.shape[0]
-            my_rank = jax.lax.axis_index("branch")
-            local_best = best - my_rank * n_local
-            has_best = (local_best >= 0) & (local_best < n_local)
-            z_best = jnp.where(
-                has_best, zs_s[jnp.clip(local_best, 0, n_local - 1)], jnp.zeros_like(zs_s[0])
+            # collective best across the branch axis
+            all_costs = jax.lax.all_gather(costs, "branch", tiled=False).reshape(-1)
+            best = jnp.argmin(all_costs).astype(jnp.int32)
+            local_best = best - my_rank * BR_l
+            has_best = (local_best >= 0) & (local_best < BR_l)
+            X_best = jnp.where(
+                has_best,
+                X[jnp.clip(local_best, 0, BR_l - 1)],
+                jnp.zeros_like(X[0]),
             )
-            # sum across shards: only the owner contributes non-zeros
-            z_best = jax.lax.psum(z_best, "branch")
-            return best, z_best
+            X_best = jax.lax.psum(X_best, "branch")
+            return best, X_best, costs, sol.converged, X
 
-        return jax.vmap(select)(costs, zs)
+        return jax.vmap(per_scenario)(
+            x0_l, bez_l, ley_l, lg_l, rey_l, rg_l, ls_l, rs_l, lv_l, rv_l,
+            act_l, od_l,
+        )
 
     compiled = jax.jit(sweep)
     _SWEEP_CACHE[cache_key] = compiled
-    return compiled(x0_scen, s_refs, ey_refs, A, B, Q, R, width)
+    return compiled(*args)
 
 
 def safe_set_exchange(mesh: Mesh, lap_traj: jax.Array):
@@ -202,37 +187,34 @@ def safe_set_exchange(mesh: Mesh, lap_traj: jax.Array):
 
 
 def dryrun(n_devices: int) -> None:
-    """One full multi-chip step on tiny shapes: 256-branch sweep sharded
-    over ('scenario','branch') + collective best-branch selection + safe-set
-    all-gather.  Used by the driver's multichip dry run."""
+    """One full multi-chip step on tiny shapes: a 256-solve corridor branch
+    sweep — the planner's REAL QP with corridor rows, Bezier references,
+    fallback, and the collective selection reduction — sharded over
+    ('scenario','branch'), plus the safe-set all-gather.  Used by the
+    driver's multichip dry run."""
+    from . import scaling
+
     mesh = make_mesh(n_devices)
-    S = mesh.shape["scenario"]
-    BR_total = 256
-    N = 4  # tiny horizon for the dry run
-    dtype = jnp.float32
+    BR = 4  # 3 vehicles of interest per scenario -> 4 corridors
+    S = 256 // BR
+    N = 6  # small horizon for the dry run
+    inputs = scaling.corridor_sweep_inputs(S, N, seed=0, dtype=jnp.float32)
 
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.normal(0, 0.1, (S, X_DIM)), dtype)
-    base_s = np.cumsum(np.full((S, BR_total, N), 0.08), axis=-1)
-    s_refs = jnp.asarray(base_s + rng.normal(0, 0.01, (S, BR_total, N)), dtype)
-    ey_refs = jnp.asarray(rng.normal(0, 0.2, (S, BR_total, N)), dtype)
-    A = jnp.eye(X_DIM, dtype=dtype) + 0.01 * jnp.asarray(rng.normal(size=(X_DIM, X_DIM)), dtype)
-    B = jnp.asarray(0.1 * rng.normal(size=(X_DIM, U_DIM)), dtype)
-    Q = jnp.eye(X_DIM, dtype=dtype)
-    R = jnp.eye(U_DIM, dtype=dtype)
+    best, X_best, costs, conv, X_all = corridor_sweep(mesh, *inputs, num_horizon=N)
+    jax.block_until_ready((best, X_best))
+    assert best.shape == (S,)
+    assert X_best.shape == (S, N + 1, X_DIM)
+    assert costs.shape == (S, BR) and X_all.shape == (S, BR, N + 1, X_DIM)
+    assert bool(jnp.all((best >= 0) & (best < BR)))
 
-    best_idx, best_U = branch_sweep(
-        mesh, x0, s_refs, ey_refs, A, B, Q, R, jnp.asarray(0.8, dtype), num_horizon=N
+    lap = jnp.asarray(
+        np.random.default_rng(0).normal(size=(mesh.shape["scenario"], 8, X_DIM)),
+        jnp.float32,
     )
-    jax.block_until_ready((best_idx, best_U))
-    assert best_idx.shape == (S,)
-    assert best_U.shape == (S, N * U_DIM)
-
-    lap = jnp.asarray(rng.normal(size=(S, 8, X_DIM)), dtype)
     full = safe_set_exchange(mesh, lap)
     jax.block_until_ready(full)
-    assert full.shape == (S, 8, X_DIM)
+    assert full.shape == lap.shape
     print(
-        f"dryrun ok: mesh={dict(mesh.shape)} branches={BR_total} "
-        f"best={np.asarray(best_idx)}"
+        f"dryrun ok: mesh={dict(mesh.shape)} corridor_solves={S * BR} "
+        f"best[:8]={np.asarray(best)[:8]}"
     )

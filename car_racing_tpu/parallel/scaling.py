@@ -1,10 +1,28 @@
-"""Scaling-efficiency harness for branch sweeps (BASELINE metric:
+"""Scaling harness for racing-game corridor branch sweeps (BASELINE metric:
 >= 0.8 multi-host efficiency on 256-branch racing-game sweeps).
 
-Measures branch-QP solve throughput at a given mesh size and batch, so the
-same harness reports: single-chip solver iterations/s, per-branch latency,
-and (on multi-device platforms) the ratio of N-device to 1-device
-throughput = scaling efficiency.
+The sweep under measurement is the planner's REAL corridor problem
+(planning/overtake.corridor_branch_qp — Bezier corridor references, gated
+no-overlap rows, kinematic fallback, and the reference's branch-selection
+reduction) sharded over a ('scenario', 'branch') mesh — NOT a synthetic
+proxy QP.  A "256-branch sweep" is 64 independent racing-game scenarios x
+4 corridors each (3 vehicles of interest per scenario, the CI traffic
+shape), the production fleet shape for scenario/branch parallelism.
+
+Methodology (fixing round-2's weaknesses):
+- **Constant total work.**  Strong-scaling efficiency compares the SAME
+  256 corridor solves on 1 device vs N devices: eff = (tp_N / N) / tp_1.
+  Weak scaling (constant per-device work, N x total) is measured and
+  labeled separately — the two are never mixed in one ratio.
+- **Fused-rep timing.**  reps sweeps with per-rep varying ego states run
+  inside ONE jitted lax.scan; per-call host timing through the TPU tunnel
+  measures dispatch (~tens of ms), not the sweep.
+- **Analytic comm-vs-compute projection.**  Virtual CPU "devices" share
+  one host's cores, so a virtual-mesh efficiency number mostly measures
+  core oversubscription.  :func:`analytic_projection` instead bounds the
+  real-silicon efficiency from the measured single-chip compute time and
+  the sweep's collective traffic (bytes over ICI), which is how the
+  >= 0.8 BASELINE target is justified on a one-chip environment.
 """
 
 from __future__ import annotations
@@ -16,56 +34,148 @@ import jax
 import jax.numpy as jnp
 
 from . import mesh as mesh_mod
+from ..ops import bezier
+from ..utils import params as params_mod
 from ..utils.constants import U_DIM, X_DIM
 
+# fleet-scenario constants (the CI racing-game traffic shape)
+LAP_LENGTH = 50.0
+TRACK_WIDTH = 1.0
+VEH_WIDTH = 0.2
+VEH_LENGTH = 0.4
+PRED_FACTOR = 0.6
 
-def sweep_inputs(S, BR, N, seed=0, dtype=jnp.float32):
+
+def corridor_sweep_inputs(S: int, N: int, seed: int = 0, dtype=jnp.float32,
+                          num_veh: int = 3):
+    """Build S independent racing-game overtake scenarios (num_veh vehicles
+    of interest each, sorted by ey descending like the planner does) and
+    derive exactly the per-branch arrays OvertakeTrajPlanner.get_local_traj
+    feeds the corridor QP batch: sampled Bezier corridors, left/right
+    neighbor ey rows + gates, wrapped neighbor s for the selection cost.
+
+    Returns the positional argument tuple of mesh.corridor_sweep (without
+    the mesh and num_horizon)."""
     rng = np.random.default_rng(seed)
-    x0 = jnp.asarray(rng.normal(0, 0.1, (S, X_DIM)), dtype)
-    s_refs = jnp.asarray(
-        np.cumsum(np.full((S, BR, N), 0.08), axis=-1) + rng.normal(0, 0.01, (S, BR, N)), dtype
+    BR = num_veh + 1
+    L, W = LAP_LENGTH, TRACK_WIDTH
+    dt = 0.1
+
+    # ego states
+    x0 = np.zeros((S, X_DIM))
+    x0[:, 0] = rng.uniform(0.6, 1.0, S)  # vx
+    x0[:, 4] = rng.uniform(0.0, L - 30.0, S)  # s
+    x0[:, 5] = rng.uniform(-0.1, 0.1, S)  # ey
+
+    # vehicles of interest: ahead of the ego, ey sorted DESCENDING
+    obs_s0 = x0[:, 4:5] + np.sort(rng.uniform(1.5, 6.0, (S, num_veh)), axis=1)
+    obs_ey0 = -np.sort(-rng.uniform(-0.5 * W, 0.5 * W, (S, num_veh)), axis=1)
+    obs_vx = rng.uniform(0.2, 0.5, (S, num_veh))
+
+    # constant-velocity predictions over the horizon (constant ey)
+    ks = np.arange(N + 1) * dt
+    obs_s = obs_s0[:, :, None] + obs_vx[:, :, None] * ks  # (S, nv, N+1)
+    obs_ey = np.broadcast_to(obs_ey0[:, :, None], obs_s.shape).copy()
+    obs_s_w = np.mod(obs_s, L)
+
+    # Bezier corridors from the planner's own control-point construction,
+    # against a synthetic centerline raceline
+    opti = np.zeros((50, X_DIM))
+    opti[:, 0] = 0.8
+    opti[:, 4] = np.linspace(0.0, L, 50)
+    veh_infos = np.stack([obs_s0, obs_ey0, obs_ey0], axis=2)  # (S, nv, 3)
+    max_delta_v = np.abs(x0[:, 0:1] - obs_vx).max(axis=1)
+
+    cp = jax.vmap(
+        lambda xe, vi, mdv: bezier.corridor_control_points(
+            num_veh, xe, vi, mdv, jnp.asarray(L, dtype), jnp.asarray(W, dtype),
+            jnp.asarray(VEH_WIDTH, dtype), jnp.asarray(opti, dtype),
+            jnp.asarray(PRED_FACTOR, dtype),
+        )
+    )(jnp.asarray(x0, dtype), jnp.asarray(veh_infos, dtype),
+      jnp.asarray(max_delta_v, dtype))
+    bez = jax.vmap(lambda c: bezier.sample_corridors(c, N + 1))(cp)  # (S,BR,N+1,2)
+
+    # per-branch neighbor rows + gates (planner get_local_traj)
+    s_pred = x0[:, 4:5] + ks[None] * x0[:, 0:1]  # (S, N+1)
+    gate_of = (
+        np.abs(s_pred[:, None] - obs_s_w) <= VEH_LENGTH + 0.15
+    )  # (S, nv, N+1)
+    br = np.arange(BR)
+    li = np.clip(br - 1, 0, num_veh - 1)
+    ri = np.clip(br, 0, num_veh - 1)
+    left_ey = obs_ey[:, li]  # (S, BR, N+1)
+    left_gate = gate_of[:, li] & (br >= 1)[None, :, None]
+    right_ey = obs_ey[:, ri]
+    right_gate = gate_of[:, ri] & (br < num_veh)[None, :, None]
+    left_s = obs_s_w[:, li]
+    right_s = obs_s_w[:, ri]
+    left_valid = np.broadcast_to(br >= 1, (S, BR))
+    right_valid = np.broadcast_to(br < num_veh, (S, BR))
+    active = np.ones((S, BR), bool)
+    old_dir = np.full(S, -1, np.int32)
+
+    # the planner's identified LTI (RacingGameParam.A/B — the REAL dynamics
+    # model the corridor QPs are built on); synthetic stand-in only if the
+    # data CSVs are out of reach (non-repo-root cwd)
+    try:
+        A_lti, B_lti = params_mod.load_lti()
+    except (OSError, ValueError):
+        A_lti = np.eye(X_DIM) + 0.01 * np.diag(np.ones(X_DIM - 1), 1)
+        B_lti = 0.1 * np.eye(X_DIM, U_DIM)
+
+    jd = lambda a: jnp.asarray(a, dtype)
+    return (
+        jd(x0),
+        jd(A_lti),
+        jd(B_lti),
+        jd(TRACK_WIDTH), jd(VEH_WIDTH), jd(VEH_LENGTH),
+        jd(np.asarray(bez)),
+        jd(left_ey), jnp.asarray(left_gate), jd(right_ey), jnp.asarray(right_gate),
+        jd(left_s), jd(right_s),
+        jnp.asarray(left_valid), jnp.asarray(right_valid), jnp.asarray(active),
+        jnp.asarray(old_dir),
     )
-    ey_refs = jnp.asarray(rng.normal(0, 0.2, (S, BR, N)), dtype)
-    A = jnp.eye(X_DIM, dtype=dtype) + 0.01 * jnp.asarray(rng.normal(size=(X_DIM, X_DIM)), dtype)
-    B = jnp.asarray(0.1 * rng.normal(size=(X_DIM, U_DIM)), dtype)
-    return x0, s_refs, ey_refs, A, B
 
 
-def measure_sweep(n_devices: int | None = None, branches: int = 256, horizon: int = 10,
-                  reps: int = 20, seed: int = 0, fused: bool = True):
-    """Time the full branch sweep (build + batched IPM + collective argmin).
+def measure_sweep(n_devices: int | None = None, total_branches: int = 256,
+                  horizon: int = 10, reps: int = 20, seed: int = 0,
+                  fused: bool = True, num_veh: int = 3):
+    """Time the full corridor branch sweep (QP build + batched IPM +
+    fallback + collective selection) at fixed TOTAL work.
 
-    ``fused=True`` (default) runs the ``reps`` sweeps — each with different
-    reference inputs — inside ONE jitted ``lax.scan`` and divides the device
-    time: per-call host timing through the TPU tunnel measures dispatch
-    (tens of ms under load), not the sweep.  ``fused=False`` keeps the
-    per-call-dispatch measurement for comparison.
+    ``fused=True`` (default) runs the ``reps`` sweeps — each with a
+    different perturbed ego-state batch — inside ONE jitted ``lax.scan``
+    and divides the device time; ``fused=False`` keeps per-call-dispatch
+    timing for comparison.
 
-    Returns dict with per-sweep latency, branch solves/s, and mesh shape.
+    Returns dict with per-sweep latency, corridor solves/s, and mesh shape.
     """
     mesh = mesh_mod.make_mesh(n_devices)
-    S = mesh.shape["scenario"]
-    x0, s_refs, ey_refs, A, B = sweep_inputs(S, branches, horizon, seed)
-    Q = jnp.eye(X_DIM, dtype=x0.dtype)
-    R = jnp.eye(U_DIM, dtype=x0.dtype)
-    w = jnp.asarray(0.8, x0.dtype)
-    total_branches = S * branches
+    BR = num_veh + 1
+    S = total_branches // BR
+    assert S * BR == total_branches
+    inputs = corridor_sweep_inputs(S, horizon, seed, num_veh=num_veh)
+    x0 = inputs[0]
+    rest = inputs[1:]
+    dtype = x0.dtype
 
     if fused:
         rng = np.random.default_rng(seed + 1)
-        pert = jnp.asarray(
-            rng.normal(0, 0.01, (reps,) + s_refs.shape), s_refs.dtype
-        )
+        pert = np.zeros((reps, S, X_DIM))
+        pert[:, :, 0] = rng.normal(0, 0.02, (reps, S))
+        pert[:, :, 5] = rng.normal(0, 0.02, (reps, S))
+        pert = jnp.asarray(pert, dtype)
 
         @jax.jit
         def many(pert):
             def body(acc, dp):
-                best, bU = mesh_mod.branch_sweep(
-                    mesh, x0, s_refs + dp, ey_refs, A, B, Q, R, w, horizon
+                best, X_best, costs, conv, _ = mesh_mod.corridor_sweep(
+                    mesh, x0 + dp, *rest, num_horizon=horizon
                 )
-                return acc + bU.sum() + best.sum().astype(w.dtype), None
+                return acc + X_best.sum() + best.sum().astype(dtype), None
 
-            acc, _ = jax.lax.scan(body, jnp.asarray(0.0, w.dtype), pert)
+            acc, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), pert)
             return acc
 
         jax.block_until_ready(many(pert))
@@ -76,9 +186,7 @@ def measure_sweep(n_devices: int | None = None, branches: int = 256, horizon: in
             best_t = min(best_t, time.perf_counter() - t0)
         dt = best_t / reps
     else:
-        run = lambda: mesh_mod.branch_sweep(
-            mesh, x0, s_refs, ey_refs, A, B, Q, R, w, horizon
-        )
+        run = lambda: mesh_mod.corridor_sweep(mesh, x0, *rest, num_horizon=horizon)
         jax.block_until_ready(run())
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -87,16 +195,77 @@ def measure_sweep(n_devices: int | None = None, branches: int = 256, horizon: in
         dt = (time.perf_counter() - t0) / reps
     return {
         "mesh": dict(mesh.shape),
-        "branches": total_branches,
+        "scenarios": S,
+        "branches_per_scenario": BR,
+        "total_branches": total_branches,
         "sweep_latency_ms": dt * 1e3,
         "branch_solves_per_s": total_branches / dt,
     }
 
 
-def scaling_efficiency(branches: int = 256, horizon: int = 10) -> dict:
-    """Efficiency of the maximal mesh vs a single device."""
+def analytic_projection(single_latency_ms: float, n_devices: int,
+                        total_branches: int = 256, horizon: int = 10,
+                        num_veh: int = 3,
+                        ici_gbps: float = 40.0, ici_latency_us: float = 5.0):
+    """Comm-vs-compute bound on real-silicon scaling efficiency.
+
+    Per sweep the only cross-device traffic is the selection reduction:
+    an all_gather of the per-branch costs and a psum of the one-hot-masked
+    winning trajectories.  Compute shards perfectly (the corridor QPs are
+    independent), so projected efficiency at N devices is
+
+        t_comp = single_latency / N        (measured single-chip sweep)
+        t_comm = bytes / ici_bw + n_collectives * ici_latency
+        eff    = t_comp / (t_comp + t_comm)
+
+    ICI assumptions are stated in the result (conservative v5e-class
+    figures: ``ici_gbps`` usable unidirectional bandwidth per device,
+    ``ici_latency_us`` per collective)."""
+    BR = num_veh + 1
+    S = total_branches // BR
+    f32 = 4
+    gather_bytes = S * BR * f32  # per-branch costs
+    psum_bytes = S * (horizon + 1) * X_DIM * f32  # winning trajectories
+    total_bytes = gather_bytes + psum_bytes
+    t_comm_s = total_bytes / (ici_gbps * 1e9) + 2 * ici_latency_us * 1e-6
+    t_comp_s = single_latency_ms * 1e-3 / n_devices
+    eff = t_comp_s / (t_comp_s + t_comm_s)
+    return {
+        "assumptions": {
+            "ici_usable_gbps": ici_gbps,
+            "ici_latency_us_per_collective": ici_latency_us,
+            "collectives_per_sweep": ["all_gather(costs)", "psum(X_best)"],
+        },
+        "bytes_over_ici_per_sweep": total_bytes,
+        "t_comm_us": t_comm_s * 1e6,
+        "t_comp_us_per_device": t_comp_s * 1e6,
+        "projected_efficiency": eff,
+    }
+
+
+def scaling_efficiency(total_branches: int = 256, horizon: int = 10,
+                       reps: int = 20) -> dict:
+    """Strong- and weak-scaling measurements at the maximal mesh vs a single
+    device, plus the analytic real-silicon projection.
+
+    strong: same ``total_branches`` corridor solves on 1 vs N devices;
+            eff_strong = (tp_N / N) / tp_1  (constant total work).
+    weak:   N x total work on N devices (constant per-device work);
+            eff_weak = tp_N / (N * tp_1)."""
     n = len(jax.devices())
-    r1 = measure_sweep(1, branches, horizon)
-    rn = measure_sweep(n, branches, horizon)
-    eff = (rn["branch_solves_per_s"] / n) / r1["branch_solves_per_s"]
-    return {"n_devices": n, "single": r1, "multi": rn, "efficiency": eff}
+    r1 = measure_sweep(1, total_branches, horizon, reps=reps)
+    rn = measure_sweep(n, total_branches, horizon, reps=reps)
+    rn_weak = measure_sweep(n, total_branches * n, horizon, reps=reps)
+    eff_strong = (rn["branch_solves_per_s"] / n) / r1["branch_solves_per_s"]
+    eff_weak = rn_weak["branch_solves_per_s"] / (n * r1["branch_solves_per_s"])
+    return {
+        "n_devices": n,
+        "single": r1,
+        "multi_strong_scaling": rn,
+        "multi_weak_scaling": rn_weak,
+        "efficiency_strong": eff_strong,
+        "efficiency_weak": eff_weak,
+        "analytic_projection": analytic_projection(
+            r1["sweep_latency_ms"], n, total_branches, horizon
+        ),
+    }

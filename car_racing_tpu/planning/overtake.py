@@ -79,8 +79,143 @@ def check_ego_agent_distance(ego_xcurv, agent_xcurv, ego_length, safety_factor,
 
 
 # ---------------------------------------------------------------------------
-# vmapped branch QP (generate_traj_per_region, overtake_traj_planner.py:248-379)
+# The corridor branch QP (generate_traj_per_region, overtake_traj_planner.py:
+# 248-379) as reusable jittable pieces — the SINGLE source of truth used by
+# the single-chip batch (:func:`_solve_branch_batch`), the fused racing game
+# (racing/fused.py), and the multi-chip mesh sweep
+# (parallel/mesh.corridor_sweep).
 # ---------------------------------------------------------------------------
+
+
+def corridor_context(xcurv_ego, A, B, num_horizon: int, dt: float = 0.1):
+    """Branch-invariant pieces of the corridor problem: the condensed LTI
+    prediction (phi, G) and the constant-velocity per-stage s prediction
+    (overtake_traj_planner.py:295-301)."""
+    phi, G = ocp.condense_lti(A, B, num_horizon, xcurv_ego)
+    ks = jnp.arange(num_horizon + 1, dtype=xcurv_ego.dtype)
+    s_pred = xcurv_ego[4] + ks * dt * xcurv_ego[0]
+    return phi, G, s_pred
+
+
+def corridor_branch_qp(
+    phi: jax.Array,
+    G: jax.Array,
+    s_pred: jax.Array,
+    track_width: jax.Array,
+    veh_width: jax.Array,
+    bez: jax.Array,  # (N+1, 2) sampled corridor curve
+    l_ey: jax.Array,  # (N,) left-neighbor ey over horizon
+    l_gate: jax.Array,  # (N,) bool — constraint row active
+    r_ey: jax.Array,  # (N,)
+    r_gate: jax.Array,  # (N,)
+    num_horizon: int,
+):
+    """ONE corridor's QP over the condensed input sequence: Bezier tracking
+    + smoothness + progress cost, input/vx/ey bounds, gated corridor
+    no-overlap rows (overtake_traj_planner.py:248-379)."""
+    N = num_horizon
+    dtype = phi.dtype
+    n_u = N * U_DIM
+    s_ref = jnp.clip(s_pred, bez[0, 0], bez[-1, 0])
+    ey_ref = jax.vmap(lambda s: jnp.interp(s, bez[:, 0], bez[:, 1]))(s_ref)
+
+    # cost over z = U: build H, g by quadratic form on selected rows
+    sel_s = jnp.arange(N) * X_DIM + 4  # s rows of x_1..x_N
+    sel_ey = jnp.arange(N) * X_DIM + 5
+    G_s, p_s = G[sel_s], phi[sel_s]
+    G_ey, p_ey = G[sel_ey], phi[sel_ey]
+
+    H = jnp.zeros((n_u, n_u), dtype)
+    g = jnp.zeros(n_u, dtype)
+    # bezier tracking: 20 * sum_{j=1..N} (ey_j - ey_ref_j)^2 + (s_j - s_ref_j)^2
+    # (j=0 terms are constants)
+    H += 2 * 20.0 * (G_ey.T @ G_ey + G_s.T @ G_s)
+    g += 2 * 20.0 * (G_ey.T @ (p_ey - ey_ref[1:]) + G_s.T @ (p_s - s_ref[1:]))
+    # smoothness: 30 * sum_{k=2..N-1} (ey_k - ey_{k-1})^2
+    D = G_ey[1 : N - 1] - G_ey[0 : N - 2]  # ey_2-ey_1 ... ey_{N-1}-ey_{N-2}
+    dp = p_ey[1 : N - 1] - p_ey[0 : N - 2]
+    H += 2 * 30.0 * (D.T @ D)
+    g += 2 * 30.0 * (D.T @ dp)
+    # progress: -200 * (s_N - s_0); s_0 constant
+    H_prog_g = -200.0 * G[-X_DIM + 4]  # row of s_N
+    g += H_prog_g
+    H += 1e-9 * jnp.eye(n_u, dtype=dtype)  # strictly convex
+
+    # constraints Cz >= d
+    rows = []
+    ds = []
+    # u bounds (hardcoded in the reference)
+    I_u = jnp.eye(n_u, dtype=dtype)
+    u_lo = jnp.tile(jnp.asarray([-0.5, -1.5], dtype), N)
+    u_hi = jnp.tile(jnp.asarray([0.5, 1.5], dtype), N)
+    rows += [I_u, -I_u]
+    ds += [u_lo, -u_hi]
+    # vx_{k+1} <= 5.0 for k=0..N-1
+    sel_vx = jnp.arange(N) * X_DIM + 0
+    rows += [-G[sel_vx]]
+    ds += [phi[sel_vx] - 5.0]
+    # ey bounds for stages 1..N-1 (stage 0 constant, stage N unbounded)
+    bound = track_width - 0.5 * veh_width
+    G_eyb, p_eyb = G_ey[: N - 1], p_ey[: N - 1]
+    rows += [G_eyb, -G_eyb]
+    ds += [-bound - p_eyb, p_eyb - bound]
+    # corridor rows: ey_k - obs_ey_k >= veh_width + 0.15 where gated,
+    # stages k=1..N-1 (stage-0 rows are constants in the reference too)
+    margin = veh_width + 0.15
+    for obs_ey, gate in ((l_ey, l_gate), (r_ey, r_gate)):
+        act = gate[1:N]
+        Cg = jnp.where(act[:, None], G_ey[: N - 1], 0.0)
+        dg = jnp.where(act, margin + obs_ey[1:N] - p_ey[: N - 1], -1.0)
+        rows += [Cg]
+        ds += [dg]
+
+    C = jnp.concatenate(rows, axis=0)
+    d = jnp.concatenate(ds)
+    return ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
+
+
+def kinematic_fallback_traj(xcurv_ego, bez, num_horizon: int, dt: float = 0.1):
+    """Kinematic-extrapolation fallback trajectory for an unconverged branch
+    (overtake_traj_planner.py:365-374): 1.1x current speed along the
+    corridor's Bezier ey.  Returns (N+1, X_DIM)."""
+    N = num_horizon
+    dtype = xcurv_ego.dtype
+    stmp = xcurv_ego[4] + 1.1 * jnp.arange(N + 1, dtype=dtype) * dt * xcurv_ego[0]
+    sclip = jnp.clip(stmp, bez[0, 0], bez[-1, 0])
+    X = jnp.zeros((N + 1, X_DIM), dtype)
+    X = X.at[:, 0].set(1.1 * xcurv_ego[0])
+    X = X.at[:, 4].set(stmp)
+    return X.at[:, 5].set(jnp.interp(sclip, bez[:, 0], bez[:, 1]))
+
+
+def branch_selection_cost(
+    X,  # (N+1, X_DIM) the branch's planned trajectory
+    left_s,  # (N+1,) left neighbor's wrapped s over the horizon
+    left_ey,  # (N+1,)
+    right_s,  # (N+1,)
+    right_ey,  # (N+1,)
+    left_valid,  # () bool — branch has a left neighbor (br >= 1)
+    right_valid,  # () bool — branch has a right neighbor (br < num_veh)
+    veh_length,
+    veh_width,
+    old_dir,  # () int32, -1 = no previous direction
+    br_idx,  # () int32 global branch index
+):
+    """The reference's branch-selection cost (overtake_traj_planner.py:
+    205-244): progress reward, collision penalty against the side
+    neighbors, direction-switch hysteresis."""
+    cost = -10.0 * (X[-1, 4] - X[0, 4])
+
+    def side(s_o, ey_o, valid):
+        viol = (
+            (X[:, 4] - s_o) ** 2 + (X[:, 5] - ey_o) ** 2
+            - veh_length**2 - veh_width**2
+            < 0.0
+        ).sum()
+        return jnp.where(valid, 100.0 * viol, 0.0)
+
+    cost = cost + side(left_s, left_ey, left_valid) + side(right_s, right_ey, right_valid)
+    return cost + jnp.where((old_dir >= 0) & (br_idx != old_dir), 100.0, 0.0)
 
 
 @partial(jax.jit, static_argnames=("num_horizon",))
@@ -103,75 +238,15 @@ def _solve_branch_batch(
     dtype = xcurv_ego.dtype
     n_u = N * U_DIM
 
-    phi, G = ocp.condense_lti(A, B, N, xcurv_ego)
-
-    # constant per-stage reference s and its bezier ey per branch
-    ks = jnp.arange(N + 1, dtype=dtype)
-    s_pred = xcurv_ego[4] + ks * 0.1 * xcurv_ego[0]
-
-    def branch_qp(bez, l_ey, l_gate, r_ey, r_gate):
-        s_ref = jnp.clip(s_pred, bez[0, 0], bez[-1, 0])
-        ey_ref = jax.vmap(lambda s: jnp.interp(s, bez[:, 0], bez[:, 1]))(s_ref)
-
-        # cost over z = U: build H, g by quadratic form on selected rows
-        sel_s = jnp.arange(N) * X_DIM + 4  # s rows of x_1..x_N
-        sel_ey = jnp.arange(N) * X_DIM + 5
-        G_s, p_s = G[sel_s], phi[sel_s]
-        G_ey, p_ey = G[sel_ey], phi[sel_ey]
-
-        H = jnp.zeros((n_u, n_u), dtype)
-        g = jnp.zeros(n_u, dtype)
-        # bezier tracking: 20 * sum_{j=1..N} (ey_j - ey_ref_j)^2 + (s_j - s_ref_j)^2
-        # (j=0 terms are constants)
-        H += 2 * 20.0 * (G_ey.T @ G_ey + G_s.T @ G_s)
-        g += 2 * 20.0 * (G_ey.T @ (p_ey - ey_ref[1:]) + G_s.T @ (p_s - s_ref[1:]))
-        # smoothness: 30 * sum_{k=2..N-1} (ey_k - ey_{k-1})^2
-        D = G_ey[1 : N - 1] - G_ey[0 : N - 2]  # ey_2-ey_1 ... ey_{N-1}-ey_{N-2}
-        dp = p_ey[1 : N - 1] - p_ey[0 : N - 2]
-        H += 2 * 30.0 * (D.T @ D)
-        g += 2 * 30.0 * (D.T @ dp)
-        # progress: -200 * (s_N - s_0); s_0 constant
-        H_prog_g = -200.0 * G[-X_DIM + 4]  # row of s_N
-        g += H_prog_g
-        H += 1e-9 * jnp.eye(n_u, dtype=dtype)  # strictly convex
-
-        # constraints Cz >= d
-        rows = []
-        ds = []
-        # u bounds (hardcoded in the reference)
-        I_u = jnp.eye(n_u, dtype=dtype)
-        u_lo = jnp.tile(jnp.asarray([-0.5, -1.5], dtype), N)
-        u_hi = jnp.tile(jnp.asarray([0.5, 1.5], dtype), N)
-        rows += [I_u, -I_u]
-        ds += [u_lo, -u_hi]
-        # vx_{k+1} <= 5.0 for k=0..N-1
-        sel_vx = jnp.arange(N) * X_DIM + 0
-        rows += [-G[sel_vx]]
-        ds += [phi[sel_vx] - 5.0]
-        # ey bounds for stages 1..N-1 (stage 0 constant, stage N unbounded)
-        bound = track_width - 0.5 * veh_width
-        G_eyb, p_eyb = G_ey[: N - 1], p_ey[: N - 1]
-        rows += [G_eyb, -G_eyb]
-        ds += [-bound - p_eyb, p_eyb - bound]
-        # corridor rows: ey_k - obs_ey_k >= veh_width + 0.15 where gated,
-        # stages k=1..N-1 (stage-0 rows are constants in the reference too)
-        margin = veh_width + 0.15
-        for obs_ey, gate in ((l_ey, l_gate), (r_ey, r_gate)):
-            act = gate[1:N]
-            Cg = jnp.where(act[:, None], G_ey[: N - 1], 0.0)
-            dg = jnp.where(act, margin + obs_ey[1:N] - p_ey[: N - 1], -1.0)
-            rows += [Cg]
-            ds += [dg]
-
-        C = jnp.concatenate(rows, axis=0)
-        d = jnp.concatenate(ds)
-        return ipm.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n_u), dtype), e=jnp.zeros(0, dtype))
+    phi, G, s_pred = corridor_context(xcurv_ego, A, B, N)
 
     # build every corridor's QP, then solve the whole batch through one
     # batched interior point (Pallas lane-major Cholesky on TPU)
-    qp_batch = jax.vmap(branch_qp)(
-        bezier_samples, left_obs_ey, left_gate, right_obs_ey, right_gate
-    )
+    qp_batch = jax.vmap(
+        lambda bez, ley, lg, rey, rg: corridor_branch_qp(
+            phi, G, s_pred, track_width, veh_width, bez, ley, lg, rey, rg, N
+        )
+    )(bezier_samples, left_obs_ey, left_gate, right_obs_ey, right_gate)
     n_br = bezier_samples.shape[0]
     sol = ipm.solve_qp_batch(qp_batch, jnp.zeros((n_br, n_u), dtype), iters=30)
     X = jax.vmap(lambda z: ocp.unpack_states(phi, G, z, xcurv_ego))(sol.z)
@@ -183,15 +258,29 @@ def _solve_branch_batch(
 
 
 class OvertakeTrajPlanner:
-    """Trajectory-based overtake planner (overtake_traj_planner.py:11-379)."""
+    """Trajectory-based overtake planner (overtake_traj_planner.py:11-379).
 
-    def __init__(self, racing_game_param):
+    ``mesh``: optional opt-in multi-chip dispatch — a ('scenario','branch')
+    Mesh with scenario axis 1 (parallel/mesh.make_branch_mesh); the corridor
+    QP batch, kinematic fallback, and branch selection then run sharded over
+    the mesh's branch axis through parallel/mesh.corridor_sweep (padded to a
+    multiple of the axis size), replacing the single-chip batch solve.
+    Results are identical (tests/test_planner.py parity test)."""
+
+    def __init__(self, racing_game_param, mesh=None):
         self.racing_game_param = racing_game_param
         self.vehicles = None
         self.agent_name = None
         self.track = None
         self.opti_traj_xcurv = None
         self.timestep = 0.1
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("scenario", 1) != 1:
+            raise ValueError(
+                "planner mesh dispatch wants a branch-only mesh "
+                "(make_branch_mesh); got scenario axis "
+                f"{mesh.shape.get('scenario')}"
+            )
 
     def get_overtake_flag(self, xcurv_ego):
         overtake_flag = False
@@ -297,47 +386,98 @@ class OvertakeTrajPlanner:
                 right_ey[br] = obs_trajs[i, :, 5]
                 right_gate[br] = np.abs(s_pred - obs_s_wrapped[i]) <= veh_length + margin
 
-        _t0 = perf_counter()
-        X_all, qp_costs, conv = _solve_branch_batch(
-            jnp.asarray(xcurv_ego),
-            param.A,
-            param.B,
-            track.width,
-            jnp.asarray(veh_width),
-            bezier_samples,
-            jnp.asarray(left_ey[:, :N]),
-            jnp.asarray(left_gate[:, :N]),
-            jnp.asarray(right_ey[:, :N]),
-            jnp.asarray(right_gate[:, :N]),
-            num_horizon=N,
-        )
-        X_all = np.array(X_all)  # (n_br, N+1, X_DIM) — writable copy
-        conv = np.asarray(conv)
-        batch_solve_s = perf_counter() - _t0  # wall time of the fused batch
-
-        # kinematic fallback for unconverged branches
-        # (overtake_traj_planner.py:365-374)
         bez_np = np.asarray(bezier_samples)
-        for br in range(n_br):
-            if not conv[br]:
-                stmp = float(xcurv_ego[4]) + 1.1 * np.arange(N + 1) * 0.1 * float(xcurv_ego[0])
-                X_all[br] = 0.0
-                X_all[br, :, 0] = 1.1 * float(xcurv_ego[0])
-                X_all[br, :, 4] = stmp
-                sclip = np.clip(stmp, bez_np[br, 0, 0], bez_np[br, -1, 0])
-                X_all[br, :, 5] = np.interp(sclip, bez_np[br, :, 0], bez_np[br, :, 1])
+        _t0 = perf_counter()
+        if self.mesh is not None:
+            # opt-in multi-chip dispatch: the same QPs, fallback, and
+            # selection run sharded over the mesh's branch axis
+            from ..parallel import mesh as mesh_mod
 
-        # branch selection (overtake_traj_planner.py:205-244)
-        cost_sel = -10.0 * (X_all[:, -1, 4] - X_all[:, 0, 4])
-        for br in range(n_br):
-            for side_i in ([br - 1] if br > 0 else []) + ([br] if br < num_veh else []):
-                diffs = X_all[br, :, 4] - obs_s_wrapped[side_i]
-                diffey = X_all[br, :, 5] - obs_trajs[side_i, :, 5]
-                viol = diffs**2 + diffey**2 - veh_length**2 - veh_width**2 < 0
-                cost_sel[br] += 100.0 * viol.sum()
-            if old_direction_flag is not None and old_direction_flag != br:
-                cost_sel[br] += 100.0
-        direction_flag = int(np.argmin(cost_sel))
+            br_axis = self.mesh.shape["branch"]
+            BRp = -(-n_br // br_axis) * br_axis  # pad to the axis size
+            pad = BRp - n_br
+            br = np.arange(BRp)
+
+            def pad_rows(a, fill=0.0):
+                return np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+                ) if pad else a
+
+            left_s = np.zeros((n_br, N + 1))
+            right_s = np.zeros((n_br, N + 1))
+            for b in range(n_br):
+                if b > 0:
+                    left_s[b] = obs_s_wrapped[b - 1]
+                if b < num_veh:
+                    right_s[b] = obs_s_wrapped[b]
+            j1 = lambda a: jnp.asarray(a)[None]
+            best, X_best, _costs, _conv, X_all = mesh_mod.corridor_sweep(
+                self.mesh,
+                jnp.asarray(xcurv_ego)[None],
+                param.A,
+                param.B,
+                track.width,
+                jnp.asarray(veh_width),
+                jnp.asarray(veh_length),
+                j1(pad_rows(bez_np)),
+                j1(pad_rows(left_ey)),
+                j1(pad_rows(left_gate, False)),
+                j1(pad_rows(right_ey)),
+                j1(pad_rows(right_gate, False)),
+                j1(pad_rows(left_s)),
+                j1(pad_rows(right_s)),
+                j1((br >= 1) & (br < n_br)),
+                j1(br < num_veh),
+                j1(br < n_br),  # padding rows get cost +inf
+                jnp.asarray(
+                    [old_direction_flag if old_direction_flag is not None else -1],
+                    jnp.int32,
+                ),
+                num_horizon=N,
+            )
+            direction_flag = int(best[0])
+            X_all = np.asarray(X_all[0][:n_br])  # fallback already applied
+            batch_solve_s = perf_counter() - _t0
+        else:
+            X_all, qp_costs, conv = _solve_branch_batch(
+                jnp.asarray(xcurv_ego),
+                param.A,
+                param.B,
+                track.width,
+                jnp.asarray(veh_width),
+                bezier_samples,
+                jnp.asarray(left_ey[:, :N]),
+                jnp.asarray(left_gate[:, :N]),
+                jnp.asarray(right_ey[:, :N]),
+                jnp.asarray(right_gate[:, :N]),
+                num_horizon=N,
+            )
+            X_all = np.array(X_all)  # (n_br, N+1, X_DIM) — writable copy
+            conv = np.asarray(conv)
+            batch_solve_s = perf_counter() - _t0  # wall time of the fused batch
+
+            # kinematic fallback for unconverged branches
+            # (overtake_traj_planner.py:365-374)
+            for br in range(n_br):
+                if not conv[br]:
+                    stmp = float(xcurv_ego[4]) + 1.1 * np.arange(N + 1) * 0.1 * float(xcurv_ego[0])
+                    X_all[br] = 0.0
+                    X_all[br, :, 0] = 1.1 * float(xcurv_ego[0])
+                    X_all[br, :, 4] = stmp
+                    sclip = np.clip(stmp, bez_np[br, 0, 0], bez_np[br, -1, 0])
+                    X_all[br, :, 5] = np.interp(sclip, bez_np[br, :, 0], bez_np[br, :, 1])
+
+            # branch selection (overtake_traj_planner.py:205-244)
+            cost_sel = -10.0 * (X_all[:, -1, 4] - X_all[:, 0, 4])
+            for br in range(n_br):
+                for side_i in ([br - 1] if br > 0 else []) + ([br] if br < num_veh else []):
+                    diffs = X_all[br, :, 4] - obs_s_wrapped[side_i]
+                    diffey = X_all[br, :, 5] - obs_trajs[side_i, :, 5]
+                    viol = diffs**2 + diffey**2 - veh_length**2 - veh_width**2 < 0
+                    cost_sel[br] += 100.0 * viol.sum()
+                if old_direction_flag is not None and old_direction_flag != br:
+                    cost_sel[br] += 100.0
+            direction_flag = int(np.argmin(cost_sel))
         target_traj_xcurv = X_all[direction_flag]
 
         # global-frame artifacts

@@ -305,7 +305,12 @@ class LMPCRacingGame(ControlBase):
     """
 
     def __init__(self, lmpc_param, racing_game_param=None, system_param=None,
-                 timestep=None, lap_number=None, time_lmpc=None, path_planner=False):
+                 timestep=None, lap_number=None, time_lmpc=None, path_planner=False,
+                 mesh=None):
+        """``mesh``: optional branch-only device mesh
+        (parallel/mesh.make_branch_mesh) — the overtake planner's corridor
+        QP batch + fallback + selection then run sharded across the mesh
+        (parallel/mesh.corridor_sweep) instead of on one chip."""
         from ..planning import overtake
         from ..utils import params as params_mod
 
@@ -317,7 +322,9 @@ class LMPCRacingGame(ControlBase):
         if path_planner:
             self.overtake_planner = overtake.OvertakePathPlanner(self.racing_game_param)
         else:
-            self.overtake_planner = overtake.OvertakeTrajPlanner(self.racing_game_param)
+            self.overtake_planner = overtake.OvertakeTrajPlanner(
+                self.racing_game_param, mesh=mesh
+            )
         self.x_pred = None
         self.u_pred = None
         self.lin_points = None

@@ -1,13 +1,15 @@
-"""Distributed tests on the virtual 8-device CPU mesh: branch sweep with
-collective argmin, safe-set all-gather, and consistency with the
-single-device computation."""
+"""Distributed tests on the virtual 8-device CPU mesh: the racing-game
+corridor branch sweep (the planner's REAL QP) sharded with shard_map,
+collective best-branch selection, safe-set all-gather, and consistency
+with the single-chip planner computation."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from car_racing_tpu.parallel import mesh as mesh_mod
+from car_racing_tpu.parallel import mesh as mesh_mod, scaling
+from car_racing_tpu.planning import overtake as ov
 from car_racing_tpu.utils.constants import U_DIM, X_DIM
 
 
@@ -17,44 +19,112 @@ def mesh():
     return mesh_mod.make_mesh(8)
 
 
-def _sweep_inputs(S, BR, N, seed=0):
-    rng = np.random.default_rng(seed)
-    x0 = jnp.asarray(rng.normal(0, 0.1, (S, X_DIM)))
-    s_refs = jnp.asarray(
-        np.cumsum(np.full((S, BR, N), 0.08), axis=-1) + rng.normal(0, 0.01, (S, BR, N))
-    )
-    ey_refs = jnp.asarray(rng.normal(0, 0.2, (S, BR, N)))
-    A = jnp.eye(X_DIM) + 0.01 * jnp.asarray(rng.normal(size=(X_DIM, X_DIM)))
-    B = jnp.asarray(0.1 * rng.normal(size=(X_DIM, U_DIM)))
-    return x0, s_refs, ey_refs, A, B
+def _host_oracle(inputs, N):
+    """Single-chip oracle: the planner's own batch solve + numpy fallback +
+    numpy selection, exactly as OvertakeTrajPlanner.get_local_traj does."""
+    (x0, A, B, width, veh_w, veh_l, bez, ley, lg, rey, rg, ls, rs, lv, rv,
+     act, od) = inputs
+    S, BR = bez.shape[:2]
+    bests, X_bests, all_costs, all_conv = [], [], [], []
+    for s in range(S):
+        X, _, conv = ov._solve_branch_batch(
+            x0[s], A, B, width, veh_w, bez[s],
+            ley[s, :, :N], lg[s, :, :N], rey[s, :, :N], rg[s, :, :N],
+            num_horizon=N,
+        )
+        X = np.array(X)
+        conv = np.asarray(conv)
+        bezs = np.asarray(bez[s])
+        for br in range(BR):
+            if not conv[br]:
+                X[br] = np.asarray(
+                    ov.kinematic_fallback_traj(x0[s], bez[s, br], N)
+                )
+        costs = -10.0 * (X[:, -1, 4] - X[:, 0, 4])
+        for br in range(BR):
+            for side_s, side_ey, valid in (
+                (ls[s, br], ley[s, br], lv[s, br]),
+                (rs[s, br], rey[s, br], rv[s, br]),
+            ):
+                if not bool(valid):
+                    continue
+                diffs = X[br, :, 4] - np.asarray(side_s)
+                diffey = X[br, :, 5] - np.asarray(side_ey)
+                viol = diffs**2 + diffey**2 - float(veh_l) ** 2 - float(veh_w) ** 2 < 0
+                costs[br] += 100.0 * viol.sum()
+            if int(od[s]) >= 0 and int(od[s]) != br:
+                costs[br] += 100.0
+        costs = np.where(np.asarray(act[s]), costs, np.inf)
+        best = int(np.argmin(costs))
+        bests.append(best)
+        X_bests.append(X[best])
+        all_costs.append(costs)
+        all_conv.append(conv)
+    return (np.asarray(bests), np.stack(X_bests), np.stack(all_costs),
+            np.stack(all_conv))
 
 
 def test_mesh_shape(mesh):
     assert mesh.shape == {"scenario": 2, "branch": 4}
 
 
-def test_branch_sweep_matches_single_device(mesh):
-    S, BR, N = 2, 16, 4
-    x0, s_refs, ey_refs, A, B = _sweep_inputs(S, BR, N)
-    Q = jnp.eye(X_DIM)
-    R = jnp.eye(U_DIM)
-    w = jnp.asarray(0.8)
+def test_corridor_sweep_matches_single_chip_planner(mesh):
+    """The mesh sweep must solve the planner's EXACT corridor problem:
+    identical inputs through mesh.corridor_sweep (sharded over 8 devices,
+    collective selection) and through the single-chip _solve_branch_batch +
+    host fallback + host selection must agree on every branch cost, the
+    winning branch, and its trajectory."""
+    S, N = 8, 10
+    inputs = scaling.corridor_sweep_inputs(S, N, seed=7)
+    best, X_best, costs, conv, X_all = mesh_mod.corridor_sweep(
+        mesh, *inputs, num_horizon=N
+    )
+    ref_best, ref_X, ref_costs, ref_conv = _host_oracle(inputs, N)
 
-    best_idx, best_U = mesh_mod.branch_sweep(mesh, x0, s_refs, ey_refs, A, B, Q, R, w, N)
+    # f32 problem data: batched reductions reorder between shard batch
+    # sizes, so agreement is to f32 accumulation noise (corridor costs are
+    # separated by O(0.1+), so the winner cannot flip)
+    np.testing.assert_array_equal(np.asarray(conv), ref_conv)
+    np.testing.assert_allclose(np.asarray(costs), ref_costs, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(best), ref_best)
+    np.testing.assert_allclose(np.asarray(X_best), ref_X, atol=1e-4)
 
-    # single-device oracle: same per-branch QP, plain vmap + argmin
-    for s in range(S):
-        costs = []
-        zs = []
-        for br in range(BR):
-            z, c = mesh_mod._branch_tracking_qp(
-                A, B, N, Q, R, x0[s], s_refs[s, br], ey_refs[s, br], w, x0.dtype
-            )
-            costs.append(float(c))
-            zs.append(np.asarray(z))
-        ref_best = int(np.argmin(costs))
-        assert int(best_idx[s]) == ref_best
-        np.testing.assert_allclose(np.asarray(best_U[s]), zs[ref_best], atol=1e-8)
+
+def test_corridor_sweep_padding_and_hysteresis(mesh):
+    """Padding rows (active=False) must never win; the direction-switch
+    hysteresis must bias selection toward old_dir."""
+    S, N = 8, 10
+    inputs = list(scaling.corridor_sweep_inputs(S, N, seed=11))
+    active = np.asarray(inputs[15]).copy()
+    active[:, -1] = False  # pad out the last corridor
+    inputs[15] = jnp.asarray(active)
+    best, _, costs, _, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
+    assert (np.asarray(best) != active.shape[1] - 1).all()
+    assert np.isinf(np.asarray(costs)[:, -1]).all()
+
+    # hysteresis: pin old_dir to the previous winner -> winner is stable
+    inputs[16] = jnp.asarray(np.asarray(best), jnp.int32)
+    best2, _, costs2, _, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
+    np.testing.assert_array_equal(np.asarray(best2), np.asarray(best))
+    # non-winning branches pay the +100 switch penalty
+    c1, c2 = np.asarray(costs), np.asarray(costs2)
+    mask = np.isfinite(c1)
+    not_best = mask & (np.arange(c1.shape[1])[None] != np.asarray(best)[:, None])
+    np.testing.assert_allclose(c2[not_best], c1[not_best] + 100.0, rtol=1e-5)
+
+
+def test_corridor_sweep_mesh_size_invariance(mesh):
+    """Identical results at 1 device and 8 devices (the correctness half of
+    the scaling story; timing runs on real hardware in bench)."""
+    S, N = 8, 10
+    inputs = scaling.corridor_sweep_inputs(S, N, seed=3)
+    mesh1 = mesh_mod.make_mesh(1)
+    b1, X1, c1, v1, _ = mesh_mod.corridor_sweep(mesh1, *inputs, num_horizon=N)
+    b8, X8, c8, v8, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b8))
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X8), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c8), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
 
 
 def test_safe_set_exchange(mesh):
@@ -65,48 +135,53 @@ def test_safe_set_exchange(mesh):
     assert full.sharding.is_fully_replicated
 
 
-def test_scaling_efficiency_artifact(mesh, repo_root):
-    """Run the full 256-branch scaling-efficiency measurement on the
-    virtual 8-device CPU mesh and record the artifact (SCALING_LOCAL.json).
+def test_scaling_artifact(mesh, repo_root):
+    """Run the corridor-sweep scaling measurement on the virtual 8-device
+    CPU mesh and record the artifact (SCALING_r03.json).
 
     Real multi-chip TPU hardware is unavailable in this environment (one
     chip behind a tunnel), so the BASELINE >= 0.8 multi-host efficiency
-    target cannot be measured on silicon; this measures the same harness on
-    8 virtual CPU devices — validating the sharded program end-to-end and
-    recording the numbers — while bench.py reports single-TPU branch
-    throughput.  Virtual-device efficiency is NOT asserted against 0.8:
-    8 'devices' here share one CPU's cores, so per-device throughput
-    necessarily drops."""
+    target cannot be measured on silicon.  The artifact therefore carries
+    three things, each labeled: (a) virtual-mesh strong/weak-scaling
+    measurements — these validate the sharded program end-to-end but mostly
+    measure CPU-core oversubscription, NOT silicon efficiency; (b) the
+    methodology (constant-total-work strong scaling, separately-labeled
+    weak scaling, fused-rep timing); (c) the analytic comm-vs-compute
+    projection from the measured single-chip sweep latency, which is the
+    basis for the >= 0.8 claim.  The analytic projection IS asserted."""
     import json
     import os
 
-    from car_racing_tpu.parallel import scaling
-
-    report = scaling.scaling_efficiency(branches=256, horizon=10)
+    report = scaling.scaling_efficiency(total_branches=256, horizon=10, reps=5)
     assert report["n_devices"] == 8
-    assert report["single"]["branches"] == 256
-    assert report["multi"]["branches"] == 512  # 2 scenarios x 256
-    assert np.isfinite(report["efficiency"]) and report["efficiency"] > 0
-    with open(os.path.join(repo_root, "SCALING_LOCAL.json"), "w") as fh:
+    assert report["single"]["total_branches"] == 256
+    assert report["multi_strong_scaling"]["total_branches"] == 256  # constant work
+    assert report["multi_weak_scaling"]["total_branches"] == 2048  # 8x, labeled
+    assert np.isfinite(report["efficiency_strong"]) and report["efficiency_strong"] > 0
+    # the analytic silicon projection must clear the BASELINE target with
+    # conservative ICI assumptions
+    assert report["analytic_projection"]["projected_efficiency"] >= 0.8
+    with open(os.path.join(repo_root, "SCALING_r03.json"), "w") as fh:
         json.dump(
-            {"note": "8 virtual CPU devices (one real TPU chip available; "
-                     "multi-chip unavailable) — harness validation, not a "
-                     "silicon efficiency claim", **report},
+            {
+                "sweep": "racing-game corridor branch QP "
+                         "(planning/overtake.corridor_branch_qp) sharded over "
+                         "('scenario','branch'), collective selection",
+                "methodology": {
+                    "strong_scaling": "same 256 corridor solves on 1 vs 8 "
+                                      "devices; eff = (tp_N/N)/tp_1",
+                    "weak_scaling": "8x total work on 8 devices (constant "
+                                    "per-device batch); eff = tp_N/(N*tp_1)",
+                    "timing": "reps sweeps with per-rep varying ego states "
+                              "fused in one lax.scan; best of 5 outer reps",
+                    "environment": "8 VIRTUAL CPU devices sharing one host's "
+                                   "cores (multi-chip TPU unavailable): these "
+                                   "ratios measure core oversubscription, not "
+                                   "silicon scaling; the silicon claim rests "
+                                   "on the analytic projection",
+                },
+                **report,
+            },
             fh, indent=1,
         )
-
-
-def test_scaling_efficiency_harness(mesh):
-    """The sweep must run at 1 device and 8 devices with identical results
-    (the correctness half of the scaling-efficiency story; timing runs on
-    real hardware in bench)."""
-    S, BR, N = 2, 16, 4
-    x0, s_refs, ey_refs, A, B = _sweep_inputs(S, BR, N, seed=3)
-    Q = jnp.eye(X_DIM)
-    R = jnp.eye(U_DIM)
-    w = jnp.asarray(0.8)
-    mesh1 = mesh_mod.make_mesh(1)
-    b1, U1 = mesh_mod.branch_sweep(mesh1, x0, s_refs, ey_refs, A, B, Q, R, w, N)
-    b8, U8 = mesh_mod.branch_sweep(mesh, x0, s_refs, ey_refs, A, B, Q, R, w, N)
-    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b8))
-    np.testing.assert_allclose(np.asarray(U1), np.asarray(U8), atol=1e-8)
+        fh.write("\n")

@@ -99,6 +99,52 @@ def test_get_local_traj_branches(track):
     assert d2 == direction
 
 
+def test_get_local_traj_mesh_dispatch_matches_single_chip(track):
+    """The planner's opt-in mesh dispatch (corridor QPs + fallback +
+    selection sharded over the devices' branch axis) must return the SAME
+    plan as the single-chip path on identical inputs."""
+    from car_racing_tpu.parallel import mesh as mesh_mod
+
+    planner_host, ego, vehs = _planner_setup(track)
+    planner_mesh, _, _ = _planner_setup(track)
+    planner_mesh.mesh = mesh_mod.make_branch_mesh(8)
+    planner_mesh.vehicles = vehs  # identical world
+    interest = {"car1": vehs["car1"], "car2": vehs["car2"]}
+
+    (traj_h, glob_h, dir_h, sv_h, _, _, _, all_h) = planner_host.get_local_traj(
+        ego.xcurv, 0.0, interest
+    )
+    (traj_m, glob_m, dir_m, sv_m, _, _, _, all_m) = planner_mesh.get_local_traj(
+        ego.xcurv, 0.0, interest
+    )
+    assert dir_m == dir_h
+    assert sv_m == sv_h
+    np.testing.assert_allclose(traj_m, traj_h, atol=1e-4)
+    np.testing.assert_allclose(all_m, all_h, atol=1e-4)
+    np.testing.assert_allclose(glob_m, glob_h, atol=1e-4)
+    # hysteresis works through the mesh path too
+    (_, _, d2, _, _, _, _, _) = planner_mesh.get_local_traj(
+        ego.xcurv, 0.0, interest, old_direction_flag=dir_m
+    )
+    assert d2 == dir_m
+    # rejects a mesh with a scenario axis (the dispatch is branch-only)
+    with pytest.raises(ValueError):
+        overtake.OvertakeTrajPlanner(
+            params.RacingGameParam.default(alpha=0.8), mesh=mesh_mod.make_mesh(8)
+        )
+    # the racing-game policy plumbs its mesh through to the planner
+    from car_racing_tpu.racing import policies
+
+    pol = policies.LMPCRacingGame(
+        params.LMPCParam.default(),
+        racing_game_param=params.RacingGameParam.default(alpha=0.8),
+        system_param=params.SystemParam.default(),
+        timestep=0.1, lap_number=4, time_lmpc=100.0,
+        mesh=planner_mesh.mesh,
+    )
+    assert pol.overtake_planner.mesh is planner_mesh.mesh
+
+
 def test_path_planner_branches(track):
     param = params.RacingGameParam.default(alpha=0.8)
     planner = overtake.OvertakePathPlanner(param)

@@ -184,6 +184,23 @@ def test_fused_lmpc_lap_learns(game_result):
     # learning: the fused LMPC lap beats the PID lap it learned from
     assert lap_steps < lmpc.time_ss[0], (lap_steps, lmpc.time_ss[0])
 
+    # CONSISTENCY vs the host loop: the host protocol's own lap 2 ran the
+    # exact same problem (same seed laps, same start state, zero noise)
+    # through the per-step host LMPCRacingGame path — the fused lap must
+    # reproduce it.  Both paths share the solver kernels; the tolerance
+    # covers f64-vs-f32-free accumulation-order drift amplified by ~140
+    # closed-loop steps.
+    host_lap_steps = int(lmpc.time_ss[2])
+    host_lap = lmpc.ss_xcurv[: host_lap_steps + 1, :, 2]
+    assert abs(lap_steps - host_lap_steps) <= 2, (lap_steps, host_lap_steps)
+    m = min(lap_steps, host_lap_steps)
+    L = float(track.lap_length)
+    np.testing.assert_allclose(xc[:m, 0], host_lap[:m, 0], atol=5e-2)  # vx
+    np.testing.assert_allclose(
+        np.mod(xc[:m, 4], L), np.mod(host_lap[:m, 4], L), atol=0.15
+    )  # s
+    np.testing.assert_allclose(xc[:m, 5], host_lap[:m, 5], atol=5e-2)  # ey
+
 
 def test_planner_artifacts_recorded(game_result):
     """During overtakes the planner must log trajectories/splines; during
