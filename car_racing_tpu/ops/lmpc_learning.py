@@ -51,6 +51,25 @@ def compute_cost(xcurv: jax.Array, lap_length: jax.Array) -> jax.Array:
     return jnp.concatenate([costs, jnp.zeros(1, xcurv.dtype)])
 
 
+def compute_cost_host(xcurv, lap_length) -> "np.ndarray":
+    """Numpy :func:`compute_cost` for the host lap-close path.
+
+    Lap lengths vary per lap, so the traced version recompiles at every
+    ``add_trajectory`` — a latency spike inside the realtime controller's
+    lap-boundary tick.  The host loop calls this shape-proof variant
+    instead; equivalence is pinned in tests/test_lmpc_learning.py."""
+    import numpy as np
+
+    xcurv = np.asarray(xcurv)
+    T = xcurv.shape[0]
+    costs = np.zeros(T)
+    nxt = -1.0
+    for k in range(T - 2, -1, -1):
+        nxt = nxt + 1.0 if xcurv[k, 4] < lap_length else 0.0
+        costs[k] = nxt
+    return costs
+
+
 @partial(jax.jit, static_argnames=("num_points",))
 def select_points(
     ss_iter: jax.Array,  # (P, X_DIM) safe set of one iteration (sentinel-padded)

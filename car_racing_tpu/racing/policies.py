@@ -401,10 +401,10 @@ class LMPCRacingGame(ControlBase):
         self.ss_glob[0 : end_iter + 1, :, it] = xglobs[0 : end_iter + 1]
         inputs = np.stack(ego.inputs[lap_number], axis=0)
         self.u_ss[0:end_iter, :, it] = inputs[0:end_iter]
-        qcol = np.asarray(
-            lmpc_learning.compute_cost(
-                jnp.asarray(xcurvs[0 : end_iter + 1]), jnp.asarray(self.lap_length)
-            )
+        # host (shape-proof) cost-to-go: lap lengths vary per lap, and the
+        # traced variant would recompile inside every lap-boundary tick
+        qcol = lmpc_learning.compute_cost_host(
+            xcurvs[0 : end_iter + 1], float(self.lap_length)
         )
         self.Qfun[0 : end_iter + 1, it] = qcol
         for i in range(1, self.Qfun.shape[0]):

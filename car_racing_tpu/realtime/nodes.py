@@ -34,6 +34,7 @@ car_racing_tpu.realtime.launch``.
 
 from __future__ import annotations
 
+import collections
 import threading
 import time
 
@@ -51,6 +52,10 @@ class Node:
         self.rate_hz = rate_hz
         self._stop = threading.Event()
         self._thread = None
+        # per-tick wall-time histogram (seconds) — the realtime stack's
+        # deadline observability (the reference only prints lap times,
+        # realtime/controller.py:129-135)
+        self.tick_latencies: collections.deque = collections.deque(maxlen=10000)
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -67,7 +72,9 @@ class Node:
         period = 1.0 / self.rate_hz
         next_t = time.monotonic()
         while not self._stop.is_set():
+            t0 = time.monotonic()
             self.tick()
+            self.tick_latencies.append(time.monotonic() - t0)
             next_t += period
             delay = next_t - time.monotonic()
             if delay > 0:
@@ -369,6 +376,16 @@ class StagedControllerNode(ControllerNode):
     *exceeds* the reference: the recorded lap logs (states + inputs, s made
     lap-local) seed the learning policy's safe set, and every further lap
     is added as it completes.
+
+    **Deadline-safe stage switches.**  The reference builds each stage's
+    policy on the controller thread at the lap boundary, so the first
+    post-swap solve pays full jit compilation inside a 10 Hz tick.  Here a
+    background thread (kicked off at construction, while the PID lap — tens
+    of seconds — is still running) pre-builds the MPC-LTI stage's policy
+    AND pre-compiles the LMPC stage's kernels against a dummy-seeded
+    throwaway policy of identical shapes; the boundary then reuses the
+    warm instance / hits the jit cache, and the swap tick stays within the
+    budget (tests/test_realtime.py::test_staged_switch_holds_tick_budget).
     """
 
     def __init__(self, name: str, track, port: int = 9123, rate_hz: float = 10.0,
@@ -390,6 +407,83 @@ class StagedControllerNode(ControllerNode):
         self._opti_traj_xcurv = opti_traj_xcurv
         self._opti_traj_xglob = opti_traj_xglob
         self.lmpc: policies.LMPCRacingGame | None = None
+        self._prewarmed_mpc: policies.MPCTracking | None = None
+        self._prewarm_thread = threading.Thread(target=self._prewarm, daemon=True)
+        self._prewarm_thread.start()
+
+    def _build_lmpc(self, dt: float) -> policies.LMPCRacingGame:
+        lmpc = policies.LMPCRacingGame(
+            params.LMPCParam.default(),
+            racing_game_param=params.RacingGameParam.default(),
+            system_param=params.SystemParam.default(),
+            timestep=dt,
+            lap_number=self._lap_number,
+            time_lmpc=5000 * dt,
+        )
+        lmpc.set_track(self._track)
+        lmpc.set_timestep(dt)
+        if self._opti_traj_xcurv is not None:
+            lmpc.set_opti_traj(self._opti_traj_xcurv, self._opti_traj_xglob)
+        # the artifact/obstacle view: only the ego exists in this node's
+        # world, so the overtake dispatch stays on the pure-LMPC branch
+        ego_model = veh_mod.DynamicBicycleModel(
+            name="ego", system_param=params.SystemParam.default()
+        )
+        ego_model.set_track(self._track)
+        lmpc.set_racing_sim(_VehiclesView({"ego": ego_model}))
+        lmpc.set_vehicles_track()
+        lmpc.agent_name = "ego"
+        return lmpc
+
+    def _prewarm(self):
+        """Compile the later stages' solve kernels off the control thread.
+
+        Runs while the PID lap is in flight.  The MPC-LTI policy instance
+        is kept (reused at the boundary); the LMPC policy is a THROWAWAY
+        seeded with two synthetic constant-speed laps whose array shapes
+        match the real stage exactly — its calc_input populates the jit
+        caches (regression, safe-set selection, convex-hull QP), so the
+        real policy built at the boundary compiles nothing."""
+        try:
+            dt = 1.0 / self.rate_hz
+            mpc = policies.MPCTracking(params.MPCParam.default(vt=self._vt))
+            mpc.set_timestep(dt)
+            mpc.set_track(self._track)
+            mpc.agent_name = self.name
+            mpc.set_state(np.zeros(X_DIM), np.zeros(X_DIM))
+            # twice: the first call compiles the cold (u_warm=None) solve,
+            # the second the shift-warm-started variant every later tick hits
+            mpc.calc_input()
+            mpc.calc_input()
+            mpc._u_warm = None  # hand over exactly like a fresh policy
+            mpc.time = 0.0
+            self._prewarmed_mpc = mpc
+
+            lmpc = self._build_lmpc(dt)
+            L = float(self._track.lap_length)
+            n = 60
+            log = _LapLogEgo(dt)
+            for _ in range(2):
+                states, inputs = [], []
+                for i in range(n):
+                    st = np.zeros(2 * X_DIM)
+                    st[0] = L / ((n - 1) * dt)
+                    st[4] = 1.02 * L * i / (n - 1)  # final point crosses L
+                    states.append(st)
+                    inputs.append(np.zeros(U_DIM))
+                log.add_lap(states, inputs)
+            lmpc.add_trajectory(log, 0)
+            lmpc.add_trajectory(log, 1)
+            st = np.zeros(X_DIM)
+            st[0] = 0.5
+            st[4] = 0.1
+            lmpc.set_state(st, np.zeros(X_DIM))
+            # fills the jit caches (cold + warm-started solve variants);
+            # the instance itself is discarded
+            lmpc.calc_input()
+            lmpc.calc_input()
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            self._prewarmed_mpc = None
 
     def _close_lap(self):
         self.laps_done += 1
@@ -398,34 +492,19 @@ class StagedControllerNode(ControllerNode):
         self.lap_log, self.lap_input_log = [], []
         dt = 1.0 / self.rate_hz
         if self.stage == 0:
-            mpc = policies.MPCTracking(params.MPCParam.default(vt=self._vt))
-            mpc.set_timestep(dt)
-            mpc.set_track(self._track)
-            mpc.agent_name = self.name
+            # a real PID lap (tens of seconds) dwarfs the prewarm; if the
+            # boundary still arrives first (or prewarm failed), fall back to
+            # building inline — the reference's behavior — rather than block
+            mpc = self._prewarmed_mpc
+            if mpc is None:
+                mpc = policies.MPCTracking(params.MPCParam.default(vt=self._vt))
+                mpc.set_timestep(dt)
+                mpc.set_track(self._track)
+                mpc.agent_name = self.name
             self.policy = mpc
             self.stage = 1
         elif self.stage == 1:
-            lmpc = policies.LMPCRacingGame(
-                params.LMPCParam.default(),
-                racing_game_param=params.RacingGameParam.default(),
-                system_param=params.SystemParam.default(),
-                timestep=dt,
-                lap_number=self._lap_number,
-                time_lmpc=5000 * dt,
-            )
-            lmpc.set_track(self._track)
-            lmpc.set_timestep(dt)
-            if self._opti_traj_xcurv is not None:
-                lmpc.set_opti_traj(self._opti_traj_xcurv, self._opti_traj_xglob)
-            # the artifact/obstacle view: only the ego exists in this node's
-            # world, so the overtake dispatch stays on the pure-LMPC branch
-            ego_model = veh_mod.DynamicBicycleModel(
-                name="ego", system_param=params.SystemParam.default()
-            )
-            ego_model.set_track(self._track)
-            lmpc.set_racing_sim(_VehiclesView({"ego": ego_model}))
-            lmpc.set_vehicles_track()
-            lmpc.agent_name = "ego"
+            lmpc = self._build_lmpc(dt)
             lmpc.add_trajectory(self._log_ego, 0)
             lmpc.add_trajectory(self._log_ego, 1)
             self.policy = lmpc

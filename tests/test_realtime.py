@@ -175,7 +175,53 @@ def test_staged_controller_reaches_lmpc(broker):
         node.stop()
 
 
-def test_cbf_controller_node_avoids_bus_obstacles(broker):
+def test_staged_switch_holds_tick_budget(broker):
+    """Stage swaps must not blow the 10 Hz deadline: the node pre-compiles
+    the next stages' solve kernels on a background thread during the PID
+    lap (the reference pays full jit/build cost inside the boundary tick).
+    Measures per-tick wall time across the PID->MPC and MPC->LMPC swaps and
+    asserts the first post-swap ticks stay within the period budget."""
+    from time import perf_counter
+
+    from car_racing_tpu.realtime.nodes import StagedControllerNode
+
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    node = StagedControllerNode("stagebudget", track, port=PORT, rate_hz=10.0)
+    try:
+        node._prewarm_thread.join(timeout=600)
+        assert not node._prewarm_thread.is_alive(), "prewarm never finished"
+        assert node._prewarmed_mpc is not None, "prewarm failed"
+
+        L = float(track.lap_length)
+        pts = 60
+        vx = L / (pts * 0.1)
+        lat, stages = [], []
+        for lap in range(3):
+            for i in range(pts):
+                state = np.zeros(12)
+                state[0] = vx
+                state[4] = lap * L + i * L / pts
+                node._on_state(state)
+                t0 = perf_counter()
+                node.tick()
+                lat.append(perf_counter() - t0)
+                stages.append(node.stage)
+        lat = np.asarray(lat)
+        stages = np.asarray(stages)
+        assert stages[-1] == 2, "protocol never reached LMPC"
+
+        budget = 1.0 / node.rate_hz
+        for new_stage in (1, 2):
+            sw = int(np.argmax(stages == new_stage))
+            # the boundary tick itself (lap close + swap + first solve of
+            # the new policy) and the next few all hold the 10 Hz budget
+            window = lat[sw : sw + 5]
+            assert (window < budget).all(), (
+                f"stage {new_stage} swap blew the budget: {window}"
+            )
+    finally:
+        node.stop()
     """Realtime MPC-CBF mode (reference realtime/controller.py:31-36):
     obstacles discovered via vehicle_list feed constant-velocity forecasts
     into the CBF solve."""
