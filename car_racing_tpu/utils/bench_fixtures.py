@@ -20,7 +20,11 @@ import numpy as np
 FIXTURE_PATH = "data/bench/lmpc_seed_l_shape.npz"
 
 
-def generate(path: str = FIXTURE_PATH, trim: int = 700):
+def seed_path(track_name: str) -> str:
+    return f"data/bench/lmpc_seed_{track_name}.npz"
+
+
+def generate(path: str | None = None, trim: int = 700, track_name: str = "l_shape"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -31,11 +35,12 @@ def generate(path: str = FIXTURE_PATH, trim: int = 700):
     from . import params
     from .constants import X_DIM
 
+    path = path or seed_path(track_name)
     timestep = 0.1
-    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    spec = np.genfromtxt(f"data/track_layout/{track_name}.csv", delimiter=",")
     track = track_ops.build_track(spec, width=1.0)
-    opti_xc = np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=",")
-    opti_xg = np.genfromtxt("data/optimal_traj/xglob_l_shape.csv", delimiter=",")
+    opti_xc = np.genfromtxt(f"data/optimal_traj/xcurv_{track_name}.csv", delimiter=",")
+    opti_xg = np.genfromtxt(f"data/optimal_traj/xglob_{track_name}.csv", delimiter=",")
 
     ego = vehicles.DynamicBicycleModel(name="ego", system_param=params.SystemParam.default())
     ego.set_timestep(timestep)
@@ -107,4 +112,6 @@ def generate(path: str = FIXTURE_PATH, trim: int = 700):
 
 
 if __name__ == "__main__":
-    generate()
+    import sys
+
+    generate(track_name=sys.argv[1] if len(sys.argv) > 1 else "l_shape")

@@ -94,6 +94,54 @@ def _scenarios():
         j("lin_points0"), j("lin_input0"), n_steps=250,
     )
     out["lmpc_lap_l_shape"] = np.asarray(xc)[: int(lap_steps) + 1]
+
+    # ---- iLQR: fused rollout on ellipse behind a slow blocking car ---------
+    track_ell = track_ops.load_track("ellipse", width=1.0)
+    ilqr_param = params.ILQRParam.default(vt=0.8)
+    half = jnp.asarray([0.2, 0.1])
+    xc, _ = fused.rollout_ilqr(
+        track_ell, bike, ilqr_param, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        jnp.asarray([0.2, 5.0]), jnp.asarray([0.0, 0.1]), half, half,
+        n_steps=100,
+    )
+    out["ilqr_ellipse"] = np.asarray(xc)
+
+    # ---- racing game: fused overtake episode, the CI traffic pattern -------
+    rg_param = params.RacingGameParam.default(alpha=0.8)
+    opti = jnp.asarray(
+        np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=",")
+    )
+    s_coef = jnp.asarray([[0.72, 7.5], [0.7, 5.5]])  # sorted by ey desc
+    ey_coef = jnp.asarray([[0.0, -0.2], [0.0, -0.5]])
+    xc, us, ot, lap_steps = fused.rollout_racing_game(
+        track_w, bike, lmpc_param, rg_param, sysp, j("xcurv0"), j("xglob0"),
+        j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+        jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+        jnp.asarray(seed["counter"], jnp.int32),
+        j("lin_points0"), j("lin_input0"), s_coef, ey_coef, opti, n_steps=300,
+    )
+    assert int(np.asarray(ot).sum()) > 0, "golden episode must contain overtakes"
+    out["racing_game_l_shape"] = np.asarray(xc)[: int(lap_steps) + 1]
+
+    # ---- goggle track: MPC-LTI + LMPC lap (non-l_shape coverage) -----------
+    track_gog = track_ops.load_track("goggle", width=1.0)
+    xc, _ = fused.rollout_mpc_tracking(
+        track_gog, bike, mpc_param, sysp, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        n_steps=150,
+    )
+    out["mpc_lti_goggle"] = np.asarray(xc)
+
+    seed_g = np.load("data/bench/lmpc_seed_goggle.npz")
+    jg = lambda k: jnp.asarray(seed_g[k])
+    xc, us, dones, lap_steps = fused.rollout_lmpc_lap(
+        track_gog, bike, lmpc_param, sysp, jg("xcurv0"), jg("xglob0"),
+        jg("ss1"), jg("q1"), jg("ss2"), jg("q2"), jg("u1"), jg("u2"),
+        jnp.asarray(seed_g["valid1"]), jnp.asarray(seed_g["valid2"]),
+        jnp.asarray(seed_g["counter"], jnp.int32),
+        jg("lin_points0"), jg("lin_input0"), n_steps=350,
+    )
+    assert 0 < int(lap_steps) < 350, "goggle LMPC lap must complete"
+    out["lmpc_lap_goggle"] = np.asarray(xc)[: int(lap_steps) + 1]
     return out
 
 

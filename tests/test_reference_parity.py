@@ -32,6 +32,10 @@ CASES = [
     ("mpc_lti_l_shape", 1e-4),
     ("mpccbf_l_shape", 1e-2),
     ("lmpc_lap_l_shape", 1e-2),
+    ("ilqr_ellipse", 1e-3),
+    ("racing_game_l_shape", 1e-2),
+    ("mpc_lti_goggle", 1e-4),
+    ("lmpc_lap_goggle", 1e-2),
 ]
 
 
