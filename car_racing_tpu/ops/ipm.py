@@ -59,6 +59,35 @@ def _highp(fn):
     return wrapped
 
 
+# ---------------------------------------------------------------------------
+# Convergence grading.  ``tol`` drives the in-loop iterate freeze (strict:
+# iteration stops improving a problem once its KKT residual passes tol).
+# The ``converged`` flag reported to callers uses a LOOSER acceptance band,
+# because fixed-iteration solvers routinely park a perfectly usable iterate
+# slightly above the strict tol, and downstream fallback logic (planner
+# kinematic fallback, warm-start reuse) must not discard it.  Two bands,
+# deliberately:
+#
+# - GRADE_QP (1e3 x tol) — the convex QP family (solve_qp, solve_qp_batch,
+#   solve_ocp_qp).  Condensed tracking/corridor/LMPC QPs carry rows spanning
+#   ~4 orders of magnitude (progress weights 200, penalty weights 1e4), so
+#   the inf-norm KKT residual of a solution whose decision variables are
+#   accurate to f32 precision can sit ~1e2-1e3 x tol; empirically usable
+#   solves land under this band while genuinely failed ones (infeasible
+#   corridors) sit orders of magnitude above it.
+# - GRADE_NL (1e2 x tol) — the nonlinear family (solve, solve_qp_nl).  The
+#   flag gates CBF warm-start reuse and safety fallbacks, where accepting a
+#   poor iterate is dangerous; nonconvex solves either converge well within
+#   1e2 x tol or fail badly, so the tighter band costs nothing.
+#
+# The contract conv == (kkt_res < GRADE_* x tol) is pinned by
+# tests/test_ipm.py::test_convergence_grading_bands.
+# ---------------------------------------------------------------------------
+
+GRADE_QP = 1e3
+GRADE_NL = 1e2
+
+
 class IPMSolution(NamedTuple):
     z: jax.Array  # primal solution
     lam: jax.Array  # inequality multipliers (>= 0)
@@ -287,7 +316,7 @@ def solve(
         lam=lam,
         nu=nu,
         s=s,
-        converged=res < jnp.asarray(tol * 100, dtype),
+        converged=res < jnp.asarray(tol * GRADE_NL, dtype),
         kkt_res=res,
         iterations=jnp.where(done_iter < 0, iters, done_iter),
     )
@@ -396,7 +425,7 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
         lam=lam,
         nu=nu,
         s=s,
-        converged=res < jnp.asarray(tol * 1e3, dtype),
+        converged=res < jnp.asarray(tol * GRADE_QP, dtype),
         kkt_res=res,
         iterations=jnp.where(done_iter < 0, iters, done_iter),
     )
@@ -508,7 +537,7 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
         lam=lam,
         nu=nu,
         s=s,
-        converged=res < tol * 1e3,
+        converged=res < tol * GRADE_QP,
         kkt_res=res,
         # real per-problem Newton-iteration counts (first pass under tol) —
         # "solver iters/s", a BASELINE.md metric, is computed from these
@@ -708,7 +737,7 @@ def solve_ocp_qp(
         lam=lam,
         nu=jnp.zeros((0,), dtype),
         s=s,
-        converged=res < jnp.asarray(tol * 1e3, dtype),
+        converged=res < jnp.asarray(tol * GRADE_QP, dtype),
         kkt_res=res,
         iterations=jnp.where(done_iter < 0, iters, done_iter),
     )
@@ -835,7 +864,7 @@ def solve_qp_nl(
         lam=lam,
         nu=jnp.zeros((0,), dtype),
         s=s,
-        converged=res < tol * 1e2,
+        converged=res < tol * GRADE_NL,
         kkt_res=res,
         # real Newton-iteration count (first pass under tol; = iters when the
         # budget was exhausted) — feeds the cbf_newton_iters_per_s BASELINE

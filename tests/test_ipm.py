@@ -191,3 +191,53 @@ def test_riccati_kkt_long_horizon_feasible():
         np.testing.assert_allclose(X[k + 1], A @ X[k] + B @ U[k], atol=1e-10)
     assert (U[:, 0] >= -0.5 - 1e-8).all() and (U[:, 0] <= 0.5 + 1e-8).all()
     assert (np.abs(X[1:, 5]) <= 0.8 + 1e-6).all()
+
+
+def test_convergence_grading_bands():
+    """The converged flag follows the documented two-band contract
+    (ipm.GRADE_QP for the convex QP family, ipm.GRADE_NL for the nonlinear
+    family): conv == (kkt_res < GRADE * tol), flipping exactly at the
+    boundary when tol is swept across the achieved residual."""
+    from car_racing_tpu.ops import ipm as ipm_mod
+
+    # a tiny strictly-convex QP the solver polishes to ~machine precision
+    n = 4
+    H = jnp.eye(n) * 2.0
+    g = jnp.asarray([1.0, -2.0, 0.5, 0.0])
+    C = jnp.eye(n)
+    d = -jnp.ones(n)
+    qp = ipm_mod.QP(H=H, g=g, C=C, d=d, E=jnp.zeros((0, n)), e=jnp.zeros(0))
+    z0 = jnp.zeros(n)
+
+    sol = ipm_mod.solve_qp(qp, z0, iters=30)
+    assert bool(sol.converged)
+
+    # boundary probe: with iters=0 the reported residual is r(z0), fixed
+    # regardless of tol, so the flag must flip exactly at the band edge
+    r0 = float(ipm_mod.solve_qp(qp, z0, iters=0).kkt_res)
+    loose = ipm_mod.solve_qp(qp, z0, iters=0, tol=r0 * 2 / ipm_mod.GRADE_QP)
+    tight = ipm_mod.solve_qp(qp, z0, iters=0, tol=r0 * 0.5 / ipm_mod.GRADE_QP)
+    assert bool(loose.converged)
+    assert not bool(tight.converged)
+
+    # nonlinear family: same probe through solve_qp_nl (trivial nl row)
+    c_nl = lambda z: (jnp.sum(z) + 10.0 - jnp.zeros(1), jnp.ones((1, n)))
+    soln = ipm_mod.solve_qp_nl(H, g, C, d, c_nl, z0, iters=30)
+    assert bool(soln.converged)
+    r0n = float(ipm_mod.solve_qp_nl(H, g, C, d, c_nl, z0, iters=0).kkt_res)
+    loose = ipm_mod.solve_qp_nl(H, g, C, d, c_nl, z0, iters=0,
+                                tol=r0n * 2 / ipm_mod.GRADE_NL)
+    tight = ipm_mod.solve_qp_nl(H, g, C, d, c_nl, z0, iters=0,
+                                tol=r0n * 0.5 / ipm_mod.GRADE_NL)
+    assert bool(loose.converged)
+    assert not bool(tight.converged)
+
+    # batched path grades per problem with the same band
+    qpb = jax.tree.map(lambda a: jnp.stack([a, a]), qp)
+    solb = ipm_mod.solve_qp_batch(qpb, jnp.zeros((2, n)), iters=30)
+    assert np.asarray(solb.converged).all()
+    r0b = float(np.asarray(ipm_mod.solve_qp_batch(qpb, jnp.zeros((2, n)), iters=0).kkt_res).max())
+    tightb = ipm_mod.solve_qp_batch(
+        qpb, jnp.zeros((2, n)), iters=0, tol=r0b * 0.5 / ipm_mod.GRADE_QP
+    )
+    assert not np.asarray(tightb.converged).any()
