@@ -286,6 +286,32 @@ def main():
     emit("racing_game_step_latency_p99_fused", np.percentile(s, 99), "ms",
          LATENCY_TARGET_MS / np.percentile(s, 99))
 
+    # ---- 7. racing-game fleet (scenario DP on the flagship path) ------------
+    # B simultaneous complete racing games on one chip via
+    # rollout_racing_game_batch; throughput in lane-steps/s (target: each
+    # lane-step within the 10 ms solve budget -> B*steps / (B*steps*10ms))
+    B_f, fleet_steps = 8, 100
+    pert = np.zeros((B_f, X_DIM))
+    pert[:, 5] = rng.normal(0, 0.01, B_f)
+    xc0_b = j("xcurv0") + jnp.asarray(pert, dtype)
+    xg0_b = jnp.broadcast_to(j("xglob0"), (B_f, X_DIM))
+
+    def run_fleet():
+        return fused.rollout_racing_game_batch(
+            track_wide, bike, lmpc_param, rg_param, sysp, xc0_b, xg0_b,
+            j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+            jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+            jnp.asarray(seed["counter"], jnp.int32),
+            j("lin_points0"), j("lin_input0"),
+            s_coef_rg, ey_coef_rg, opti, n_steps=fleet_steps,
+        )
+
+    t = _timed(run_fleet, reps=5, block=block)
+    lane_steps = B_f * fleet_steps
+    thr = lane_steps / float(np.percentile(t, 50))
+    fleet_target = 1.0 / (LATENCY_TARGET_MS * 1e-3)  # lane-steps/s at 10 ms each
+    emit("racing_game_fleet_lane_steps_per_s", thr, "1/s", thr / fleet_target)
+
 
 if __name__ == "__main__":
     main()

@@ -177,6 +177,53 @@ def corridor_sweep(
     return compiled(*args)
 
 
+def fleet_rollout(
+    mesh: Mesh,
+    track, bike_params, lmpc_param, rg_param, sys_param,
+    xcurv0_batch: jax.Array,  # (B, X_DIM), B divisible by the device count
+    xglob0_batch: jax.Array,
+    ss_prev, qfun_prev, ss_prev2, qfun_prev2,
+    u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
+    lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
+    n_steps: int = 300,
+):
+    """A fleet of fused racing-game laps sharded across EVERY device of the
+    mesh (the scenario batch splits over the flattened ('scenario','branch')
+    axes): full-scale production deployment of the flagship path — each
+    device runs its shard of complete on-device laps (LMPC dispatch,
+    corridor planner, CBF tracker) with zero cross-device traffic during
+    the laps; lap-end safe-set exchange rides :func:`safe_set_exchange`.
+
+    Returns the same tuple as racing/fused.rollout_racing_game_batch."""
+    from ..racing import fused
+
+    shared = (
+        ss_prev, qfun_prev, ss_prev2, qfun_prev2,
+        u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
+        lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(("scenario", "branch")), P(("scenario", "branch"))),
+        out_specs=(
+            P(("scenario", "branch")),
+            P(("scenario", "branch")),
+            P(("scenario", "branch")),
+            P(("scenario", "branch")),
+        ),
+        check_vma=False,
+    )
+    def run(xc_l, xg_l):
+        return fused.rollout_racing_game_batch(
+            track, bike_params, lmpc_param, rg_param, sys_param,
+            xc_l, xg_l, *shared, n_steps=n_steps,
+        )
+
+    return jax.jit(run)(xcurv0_batch, xglob0_batch)
+
+
 def safe_set_exchange(mesh: Mesh, lap_traj: jax.Array):
     """All-gather each scenario shard's newest lap trajectory so every
     device holds the full safe set (the LMPC safe-set exchange of SURVEY

@@ -663,6 +663,37 @@ def rollout_racing_game(
     return xcurvs, us, ot_flags, lap_steps
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters"),
+)
+@_highp
+def rollout_racing_game_batch(
+    track, bike_params, lmpc_param, rg_param, sys_param,
+    xcurv0_batch, xglob0_batch,  # (B, X_DIM) per-scenario starts
+    ss_prev, qfun_prev, ss_prev2, qfun_prev2,
+    u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
+    lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
+    n_steps: int = 300, control_dt: float = 0.1, sub_dt: float = 0.001,
+    tracker_iters: int = 20,
+):
+    """vmap of :func:`rollout_racing_game` over a batch of initial states —
+    a fleet of simultaneous racing games on one chip (scenario DP on the
+    flagship path; shard the batch across a mesh with
+    parallel/mesh.fleet_rollout).  Shared safe sets and traffic; under
+    vmap the LMPC/overtake ``lax.cond`` lowers to a select (both branches
+    execute for every lane), the price of divergent per-lane dispatch."""
+    fn = lambda xc, xg: rollout_racing_game(
+        track, bike_params, lmpc_param, rg_param, sys_param, xc, xg,
+        ss_prev, qfun_prev, ss_prev2, qfun_prev2,
+        u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
+        lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
+        n_steps=n_steps, control_dt=control_dt, sub_dt=sub_dt,
+        tracker_iters=tracker_iters,
+    )
+    return jax.vmap(fn)(xcurv0_batch, xglob0_batch)
+
+
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
 @_highp
 def rollout_mpc_tracking_batch(
