@@ -49,12 +49,20 @@ def racing_overtake(args):
             mpc.set_timestep(timestep)
             mpc.set_track(track)
             mpc.set_racing_sim(sim)
+            mesh = None
+            if args.get("mesh_planner"):
+                # opt-in multi-chip planner dispatch: corridor QPs +
+                # fallback + selection shard over all local devices
+                from ..parallel import mesh as mesh_mod
+
+                mesh = mesh_mod.make_branch_mesh()
             lmpc = policies.LMPCRacingGame(
                 params.LMPCParam.default(),
                 racing_game_param=params.RacingGameParam.default(alpha=alpha),
                 timestep=timestep,
                 lap_number=lap_number,
                 time_lmpc=10000 * timestep,
+                mesh=mesh,
             )
             lmpc.set_track(track)
             lmpc.set_timestep(timestep)
@@ -138,6 +146,11 @@ def main():
     parser.add_argument("--number-other-agents", type=int, default=2)
     parser.add_argument("--save-trajectory", action="store_true")
     parser.add_argument("--multi-tests", action="store_true")
+    parser.add_argument(
+        "--mesh-planner", action="store_true",
+        help="shard the overtake planner's corridor QPs over all local "
+             "devices (parallel/mesh.corridor_sweep)",
+    )
     racing_overtake(vars(parser.parse_args()))
 
 

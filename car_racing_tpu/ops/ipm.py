@@ -302,8 +302,9 @@ def solve(
         jnp.asarray(-1, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )
-    (z, s, lam, nu, mu, best_res, done_iter, _), _ = jax.lax.scan(
-        step, init, None, length=iters
+    # early exit once converged (iterate frozen -> bitwise identical)
+    (z, s, lam, nu, mu, best_res, done_iter, _) = jax.lax.while_loop(
+        lambda c: (c[6] < 0) & (c[7] < iters), lambda c: step(c, None)[0], init
     )
 
     # final residual
@@ -414,7 +415,11 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
         return (z, s, lam, nu, mu, done_iter, k + 1), None
 
     init = (z0, s, lam, nu, mu, jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
-    (z, s, lam, nu, mu, done_iter, _), _ = jax.lax.scan(step, init, None, length=iters)
+    # early exit once converged (done_iter set): the iterate is frozen from
+    # that point, so exiting is bitwise identical to finishing the budget
+    (z, s, lam, nu, mu, done_iter, _) = jax.lax.while_loop(
+        lambda c: (c[5] < 0) & (c[6] < iters), lambda c: step(c, None)[0], init
+    )
 
     ci = C @ z - d
     ce = E @ z - e
@@ -528,8 +533,15 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
 
     done0 = jnp.zeros((B,), bool)
     di0 = jnp.full((B,), -1, jnp.int32)
-    (z, s, lam, nu, mu, done, done_iter, _), _ = jax.lax.scan(
-        step, (z0, s, lam, nu, mu, done0, di0, jnp.asarray(0, jnp.int32)), None, length=iters
+    # while_loop with an all-converged early exit instead of a fixed-length
+    # scan: converged problems' iterates are frozen (upd masks), so exiting
+    # once every problem is done is BITWISE identical to running the full
+    # budget — but the batch pays max(needed) iterations, not `iters`
+    # (corridor batches converge at p50=10/max~22 vs the 30 budget).
+    (z, s, lam, nu, mu, done, done_iter, _) = jax.lax.while_loop(
+        lambda c: (~jnp.all(c[5])) & (c[7] < iters),
+        lambda c: step(c, None)[0],
+        (z0, s, lam, nu, mu, done0, di0, jnp.asarray(0, jnp.int32)),
     )
     res = kkt_res(z, s, lam, nu)
     return IPMSolution(
@@ -729,7 +741,10 @@ def solve_ocp_qp(
         return (X, U, s, lam, mu, done_iter, k + 1), None
 
     init = (X, U, s, lam, mu, jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
-    (X, U, s, lam, mu, done_iter, _), _ = jax.lax.scan(step, init, None, length=iters)
+    # early exit once converged (iterate frozen -> bitwise identical)
+    (X, U, s, lam, mu, done_iter, _) = jax.lax.while_loop(
+        lambda c: (c[5] < 0) & (c[6] < iters), lambda c: step(c, None)[0], init
+    )
 
     res = kkt_res(X, U, s, lam)
     sol = IPMSolution(
@@ -849,12 +864,13 @@ def solve_qp_nl(
         mu = jnp.where(upd, jnp.maximum(0.2 * duality, mu_floor), mu)
         return (z, s, lam, mu, done, done_iter, k + 1), None
 
-    (z, s, lam, mu, done, done_iter, _), _ = jax.lax.scan(
-        step,
+    # early exit once converged: the iterate is frozen (upd masks), so this
+    # is bitwise identical to running the remaining budget
+    (z, s, lam, mu, done, done_iter, _) = jax.lax.while_loop(
+        lambda c: (~c[4]) & (c[6] < iters),
+        lambda c: step(c, None)[0],
         (z0, s, lam, mu, jnp.asarray(False), jnp.asarray(-1, jnp.int32),
          jnp.asarray(0, jnp.int32)),
-        None,
-        length=iters,
     )
     ci, Ji = eval_c(z)
     gL = H @ z + g - Ji.T @ lam

@@ -282,6 +282,14 @@ class OvertakeTrajPlanner:
                 f"{mesh.shape.get('scenario')}"
             )
 
+    def __getstate__(self):
+        # a device Mesh is process-local (holds live device handles) and
+        # unpicklable; simulator snapshots drop it — a restored planner
+        # runs single-chip until re-attached (sim.save/load, --sim-replay)
+        state = self.__dict__.copy()
+        state["mesh"] = None
+        return state
+
     def get_overtake_flag(self, xcurv_ego):
         overtake_flag = False
         vehicles_interest = {}

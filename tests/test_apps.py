@@ -79,12 +79,15 @@ def test_cli_driver_runs(module, extra, cap, tmp_path, repo_root):
 
 def test_overtake_driver_replay_flag(tmp_path, repo_root):
     """--sim-replay must reuse the saved run's other-vehicle initial
-    conditions (reference overtake_planner_test.py:61-74).  Depends on the
-    saved simulator produced by the overtake driver run above."""
+    conditions (reference overtake_planner_test.py:61-74); --mesh-planner
+    dispatches the corridor QPs over the 8 virtual devices (inherited
+    XLA_FLAGS), exercising the racing game's multi-chip planner path
+    end-to-end.  Depends on the saved simulator produced by the overtake
+    driver run above."""
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import sys; sys.argv=['x', '--simulation', '--zero-noise',"
-        " '--lap-number', '4', '--sim-replay'];"
+        " '--lap-number', '4', '--sim-replay', '--mesh-planner'];"
         "from car_racing_tpu.apps.overtake_planner_test import main;"
         "import car_racing_tpu.racing.simulator as s;"
         "orig = s.CarRacingSim.sim;"
