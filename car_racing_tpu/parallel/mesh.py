@@ -261,7 +261,50 @@ def dryrun(n_devices: int) -> None:
     full = safe_set_exchange(mesh, lap)
     jax.block_until_ready(full)
     assert full.shape == lap.shape
+
+    # scenario-DP on the flagship: a tiny fleet of fused racing-game steps
+    # sharded over every device (LMPC dispatch <-> corridor planner + CBF
+    # tracker inside lax.scan, one lane per device slot)
+    import os
+
+    from ..ops import dynamics, track as track_ops
+    from ..utils import params as params_mod
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    dtype = jnp.float32
+    cast = lambda t: jax.tree.map(lambda a: jnp.asarray(a, dtype), t)
+    spec = np.genfromtxt(f"{root}/data/track_layout/l_shape.csv", delimiter=",")
+    track = cast(track_ops.build_track(spec, width=1.0))
+    seed = np.load(f"{root}/data/bench/lmpc_seed_l_shape.npz")
+    jf = lambda k: jnp.asarray(seed[k], dtype)
+    B = n_devices
+    rng = np.random.default_rng(1)
+    pert = np.zeros((B, X_DIM))
+    pert[:, 5] = rng.normal(0, 0.02, B)
+    xc0 = jf("xcurv0") + jnp.asarray(pert, dtype)
+    xg0 = jnp.broadcast_to(jf("xglob0"), (B, X_DIM))
+    opti = jnp.asarray(
+        np.genfromtxt(f"{root}/data/optimal_traj/xcurv_l_shape.csv", delimiter=","),
+        dtype,
+    )
+    xc_f, _, _, _ = fleet_rollout(
+        mesh, track, cast(dynamics.BicycleParams.default()),
+        cast(params_mod.LMPCParam.default()),
+        cast(params_mod.RacingGameParam.default(alpha=0.8, data_dir=f"{root}/data")),
+        cast(params_mod.SystemParam.default()),
+        xc0, xg0,
+        jf("ss1"), jf("q1"), jf("ss2"), jf("q2"), jf("u1"), jf("u2"),
+        jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+        jnp.asarray(seed["counter"], jnp.int32),
+        jf("lin_points0"), jf("lin_input0"),
+        jnp.asarray([[0.72, 7.5], [0.7, 5.5]], dtype),
+        jnp.asarray([[0.0, -0.2], [0.0, -0.5]], dtype),
+        opti, n_steps=3,
+    )
+    jax.block_until_ready(xc_f)
+    assert xc_f.shape == (B, 4, X_DIM)
+    assert bool(jnp.isfinite(xc_f).all())
     print(
         f"dryrun ok: mesh={dict(mesh.shape)} corridor_solves={S * BR} "
-        f"best[:8]={np.asarray(best)[:8]}"
+        f"best[:8]={np.asarray(best)[:8]} fleet_lanes={B}"
     )
