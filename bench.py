@@ -58,6 +58,10 @@ def _timed(fn, reps, block):
 
 
 def main():
+    # NOTE: do NOT enable jax's persistent compilation cache here — the
+    # axon remote-compile backend deadlocks on cache writes for nontrivial
+    # programs (measured: the entry MPC solve compiles in ~57 s without the
+    # cache and hangs >15 min with it).
     import jax
     import jax.numpy as jnp
 
