@@ -254,7 +254,7 @@ def _solve_branch_batch(
         0.5 * jnp.einsum("bi,bij,bj->b", sol.z, qp_batch.H, sol.z)
         + jnp.einsum("bi,bi->b", qp_batch.g, sol.z)
     )
-    return X, qp_cost, sol.converged
+    return X, qp_cost, sol.converged, sol.iterations
 
 
 class OvertakeTrajPlanner:
@@ -274,6 +274,7 @@ class OvertakeTrajPlanner:
         self.track = None
         self.opti_traj_xcurv = None
         self.timestep = 0.1
+        self.last_branch_iterations = None  # per-branch Newton counts (host path)
         self.mesh = mesh
         if mesh is not None and mesh.shape.get("scenario", 1) != 1:
             raise ValueError(
@@ -447,7 +448,7 @@ class OvertakeTrajPlanner:
             X_all = np.asarray(X_all[0][:n_br])  # fallback already applied
             batch_solve_s = perf_counter() - _t0
         else:
-            X_all, qp_costs, conv = _solve_branch_batch(
+            X_all, qp_costs, conv, branch_iters = _solve_branch_batch(
                 jnp.asarray(xcurv_ego),
                 param.A,
                 param.B,
@@ -463,6 +464,11 @@ class OvertakeTrajPlanner:
             X_all = np.array(X_all)  # (n_br, N+1, X_DIM) — writable copy
             conv = np.asarray(conv)
             batch_solve_s = perf_counter() - _t0  # wall time of the fused batch
+            # real per-branch Newton-iteration counts — the honest per-branch
+            # effort signal (recorded wall times are batch-uniform since all
+            # branches solve as ONE fused batch; the reference's per-process
+            # times, overtake_traj_planner.py:375-378, have no analog here)
+            self.last_branch_iterations = np.asarray(branch_iters)
 
             # kinematic fallback for unconverged branches
             # (overtake_traj_planner.py:365-374)

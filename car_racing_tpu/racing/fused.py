@@ -535,7 +535,7 @@ def rollout_racing_game(
         right_ey = obs_ey[ri]
         right_gate = gate_of[ri] & (br < n_veh)[:, None]
 
-        X_all, _, conv = _ov._solve_branch_batch(
+        X_all, _, conv, _ = _ov._solve_branch_batch(
             x, rg_param.A, rg_param.B, W, veh_wid, bez,
             left_ey[:, :Np], left_gate[:, :Np], right_ey[:, :Np], right_gate[:, :Np],
             num_horizon=Np,

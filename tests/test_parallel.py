@@ -27,7 +27,7 @@ def _host_oracle(inputs, N):
     S, BR = bez.shape[:2]
     bests, X_bests, all_costs, all_conv = [], [], [], []
     for s in range(S):
-        X, _, conv = ov._solve_branch_batch(
+        X, _, conv, _ = ov._solve_branch_batch(
             x0[s], A, B, width, veh_w, bez[s],
             ley[s, :, :N], lg[s, :, :N], rey[s, :, :N], rg[s, :, :N],
             num_horizon=N,

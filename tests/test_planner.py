@@ -88,6 +88,9 @@ def test_get_local_traj_branches(track):
     assert sorted_vehicles == ["car1", "car2"]  # sorted by ey descending
     assert 0 <= direction <= 2
     assert all_traj.shape[0] == 3  # num_veh + 1 corridors
+    # real per-branch Newton-iteration counts recorded (never a fill)
+    iters = planner.last_branch_iterations
+    assert iters is not None and iters.shape == (3,) and (iters > 0).all()
     # progress: the chosen trajectory moves forward
     assert traj[-1, 4] > traj[0, 4] + 0.2
     # planner trajectory starts at the ego state
