@@ -174,6 +174,26 @@ def main():
     emit("ilqr_step_latency_p99_fused", np.percentile(s, 99), "ms",
          LATENCY_TARGET_MS / np.percentile(s, 99))
 
+    # shift-warm-started variant (opt-in, iLQRRacing(warm_start=True)):
+    # warm solves exit the Levenberg while_loop in a few iterations — the
+    # latency this buys is the whole point of warm starting a sequential
+    # fixed-point solver (behavior note: racing/fused.rollout_ilqr docstring)
+    def run_ilqr_warm():
+        xc0 = jnp.asarray(
+            np.array([0.1, 0, 0, 0, 0, 0]) + 0.02 * rng.standard_normal(X_DIM), dtype
+        )
+        return fused.rollout_ilqr(
+            track_ell, bike, ilqr_param, xtarget, xc0, jnp.zeros(X_DIM, dtype),
+            jnp.asarray([0.2, 5.0], dtype), jnp.asarray([0.0, 0.1], dtype),
+            half, half, n_steps=ilqr_steps, warm_start=True,
+        )
+
+    s = _timed(run_ilqr_warm, reps=10, block=block) * 1e3 / ilqr_steps
+    emit("ilqr_step_latency_p50_fused_warm", np.percentile(s, 50), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 50))
+    emit("ilqr_step_latency_p99_fused_warm", np.percentile(s, 99), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 99))
+
     # ---- 3. fused LMPC learning-lap step -----------------------------------
     from car_racing_tpu.utils.bench_fixtures import FIXTURE_PATH
 

@@ -171,7 +171,7 @@ def _ilqr_cost_terms(param, xvar, uvar, xtarget, obs_traj, agent_half, obs_half)
     return l_x, l_u, l_xx, l_uu
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("return_seq",))
 def ilqr(
     xcurv: jax.Array,
     xtarget: jax.Array,
@@ -179,13 +179,23 @@ def ilqr(
     obs_traj: jax.Array,
     agent_half: jax.Array,
     obs_half: jax.Array,
-) -> jax.Array:
+    u_init: jax.Array | None = None,
+    return_seq: bool = False,
+):
     """iLQR on the LTI model with a CBF repelling obstacle cost.
 
     Mirrors the reference solve (control.py:111-191): forward rollout,
     eigen-regularized backward pass, accept/reject with a Levenberg lambda
-    schedule (x10 up / /10 down, capped at 1000) — all under one lax.scan
-    with masked accept/reject instead of Python break/continue.
+    schedule (x10 up / /10 down, capped at 1000) — all under one
+    lax.while_loop with masked accept/reject instead of Python
+    break/continue.
+
+    ``u_init`` warm-starts the control sequence (the reference restarts
+    from zeros every call, control.py:97; closed-loop callers shift the
+    previous step's solution instead — warm solves exit the Levenberg loop
+    in a few iterations, cold ones in ~10-20).  With ``return_seq`` the
+    full ``(u0, uvar, iters)`` comes back so callers can shift-warm the
+    next solve and log real iteration counts.
     """
     N = param.num_horizon
     A, B = param.A, param.B
@@ -227,7 +237,7 @@ def ilqr(
         lamb = jnp.where(done, lamb, lamb_next)
         return (uvar, xvar, cost, lamb, done, it + 1)
 
-    u0 = jnp.zeros((N, U_DIM), dtype)
+    u0 = jnp.zeros((N, U_DIM), dtype) if u_init is None else u_init.astype(dtype)
     x0_traj = rollout(u0)
     init = (
         u0,
@@ -240,9 +250,12 @@ def ilqr(
     # while_loop (not scan): converged solves exit after ~10-20 iterations
     # instead of always paying the full max_iter=150 sequential sweeps
     # (reference breaks out of its Python loop the same way, control.py:183-191).
-    uvar = jax.lax.while_loop(
+    final = jax.lax.while_loop(
         lambda c: (~c[4]) & (c[5] < param.max_iter), iteration, init
-    )[0]
+    )
+    uvar, iters = final[0], final[5]
+    if return_seq:
+        return uvar[0], uvar, iters
     return uvar[0]
 
 

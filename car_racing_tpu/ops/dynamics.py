@@ -126,7 +126,7 @@ def curv_step(track: track_ops.Track, params: BicycleParams, xcurv, u, dt):
     return xcurv_next
 
 
-@partial(jax.jit, static_argnames=("control_dt", "sub_dt"))
+@partial(jax.jit, static_argnames=("control_dt", "sub_dt", "unroll"))
 def propagate(
     track: track_ops.Track,
     params: BicycleParams,
@@ -135,12 +135,23 @@ def propagate(
     u: jax.Array,
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
+    unroll: int = 1,
 ):
     """Propagate one control period with fine Euler substeps.
 
     Replaces the reference's host-side ``while`` loop of 100 substeps per
     control step (base.py:909-928) with one ``lax.scan``; curvature is
     re-looked-up every substep as in the reference.
+
+    ``unroll``: the substep body is a handful of tiny elementwise ops, so
+    the un-unrolled scan is mostly sequential loop overhead on TPU —
+    ``unroll=10`` lets XLA fuse 10 substeps per scan iteration (measured on
+    v5e: 1.73 -> 0.86 ms per 100-substep control period; diminishing
+    returns and 10x compile time beyond ~25).  The default stays 1 because
+    unrolling changes XLA's fusion/FMA contraction choices *differently per
+    compilation context*, which breaks the framework's bitwise fused-vs-host
+    agreement and the pinned goldens; throughput paths with no host twin
+    (the racing-game fleet) opt in.
     """
     n_sub = int(round(control_dt / sub_dt))
 
@@ -150,7 +161,9 @@ def propagate(
         xg, xc = step(params, curv, xg, xc, sub_dt, u)
         return (xg, xc), None
 
-    (xglob, xcurv), _ = jax.lax.scan(body, (xglob, xcurv), None, length=n_sub)
+    (xglob, xcurv), _ = jax.lax.scan(
+        body, (xglob, xcurv), None, length=n_sub, unroll=min(unroll, n_sub)
+    )
     return xglob, xcurv
 
 

@@ -155,9 +155,16 @@ def _segment_mask(track: Track, s: jax.Array) -> jax.Array:
 
 @jax.jit
 def curvature(track: Track, s: jax.Array) -> jax.Array:
-    """Signed curvature at arc length s (reference racing_env.py:225-246)."""
+    """Signed curvature at arc length s (reference racing_env.py:225-246).
+
+    Gather, not a masked sum: this runs once per Euler substep inside every
+    hot loop, and a float reduction here is both slower and fusion-order
+    dependent — XLA tiles reductions differently per compilation context,
+    which broke bitwise fused-vs-host agreement once the substep scan was
+    unrolled.  argmax-over-bools + gather is integer-exact everywhere."""
     s = wrap_s(track, s)
-    return jnp.sum(_segment_mask(track, s) * track.curv)
+    inside = (s >= track.s0) & (s < track.s0 + track.seg_len + _S_TOL)
+    return track.curv[jnp.argmax(inside)]
 
 
 def _arc_geometry(track: Track):

@@ -177,7 +177,7 @@ def rollout_mpccbf(
     return xcurvs, us, kkts, its
 
 
-@partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+@partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt", "warm_start"))
 @_highp
 def rollout_ilqr(
     track: track_ops.Track,
@@ -193,6 +193,7 @@ def rollout_ilqr(
     n_steps: int = 100,
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
+    warm_start: bool = False,
 ):
     """Closed-loop iLQR racing entirely on-device.
 
@@ -204,6 +205,14 @@ def rollout_ilqr(
     on convergence), then one control period of Euler substeps.  A single
     obstacle, replicating the reference's keep-only-the-last-listed-vehicle
     behavior (control.py:100-110).
+
+    ``warm_start=True`` shift-warm-starts each solve from the previous
+    step's sequence (mirroring iLQRRacing(warm_start=True)).  This is NOT
+    behavior-neutral: the nonconvex solve lands in a different local
+    optimum — cold zero-init settles behind a blocking car (the
+    reference's behavior); warm solves keep momentum and take the
+    collision-free passing line, converging in a few Levenberg iterations
+    instead of ~10-20 (the latency headline in bench.py).
 
     Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U)).
     """
@@ -223,18 +232,22 @@ def rollout_ilqr(
         return jnp.stack([vs, vey, zeros, zeros, s, ey], axis=1)  # (N+1, X)
 
     def step(carry, k):
-        xcurv, xglob = carry
+        xcurv, xglob, u_warm = carry
         t = k.astype(dtype) * control_dt
-        u = controllers.ilqr(
-            xcurv, xtarget, ilqr_param, obs_forecast(t), agent_half, obs_half
+        u, U, _ = controllers.ilqr(
+            xcurv, xtarget, ilqr_param, obs_forecast(t), agent_half, obs_half,
+            u_init=u_warm if warm_start else None, return_seq=True,
         )
         xglob_next, xcurv_next = dynamics.propagate(
             track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
         )
-        return (xcurv_next, xglob_next), (xcurv, u)
+        # same shift-warm-start as the host iLQRRacing policy
+        u_warm_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        return (xcurv_next, xglob_next, u_warm_next), (xcurv, u)
 
-    (xcurv_T, _), (xcurvs, us) = jax.lax.scan(
-        step, (xcurv0, xglob0), jnp.arange(n_steps)
+    u_warm0 = jnp.zeros((N, U_DIM), dtype)
+    (xcurv_T, _, _), (xcurvs, us) = jax.lax.scan(
+        step, (xcurv0, xglob0, u_warm0), jnp.arange(n_steps)
     )
     xcurvs = jnp.concatenate([xcurvs, xcurv_T[None]], axis=0)
     return xcurvs, us
@@ -386,7 +399,7 @@ def rollout_lmpc_lap(
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters"),
+    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters", "dynamics_unroll"),
 )
 @_highp
 def rollout_racing_game(
@@ -415,6 +428,7 @@ def rollout_racing_game(
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
     tracker_iters: int = 20,
+    dynamics_unroll: int = 1,
 ):
     """The FLAGSHIP path fully fused: one on-device racing-game lap.
 
@@ -629,7 +643,8 @@ def rollout_racing_game(
         )
 
         xglob_next, xcurv_next = dynamics.propagate(
-            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+            track, bike_params, xglob, xcurv, u,
+            control_dt=control_dt, sub_dt=sub_dt, unroll=dynamics_unroll,
         )
         done_next = done | (xcurv_next[4] >= L)
 
@@ -665,7 +680,7 @@ def rollout_racing_game(
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters"),
+    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters", "dynamics_unroll"),
 )
 @_highp
 def rollout_racing_game_batch(
@@ -675,21 +690,26 @@ def rollout_racing_game_batch(
     u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
     lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
     n_steps: int = 300, control_dt: float = 0.1, sub_dt: float = 0.001,
-    tracker_iters: int = 20,
+    tracker_iters: int = 20, dynamics_unroll: int = 10,
 ):
     """vmap of :func:`rollout_racing_game` over a batch of initial states —
     a fleet of simultaneous racing games on one chip (scenario DP on the
     flagship path; shard the batch across a mesh with
     parallel/mesh.fleet_rollout).  Shared safe sets and traffic; under
     vmap the LMPC/overtake ``lax.cond`` lowers to a select (both branches
-    execute for every lane), the price of divergent per-lane dispatch."""
+    execute for every lane), the price of divergent per-lane dispatch.
+
+    ``dynamics_unroll`` defaults to 10 here (unlike the single-lane
+    rollout): the fleet is a throughput path with no bitwise host twin,
+    and unrolling the substep scan halves its sequential-dynamics floor
+    (see ops/dynamics.propagate)."""
     fn = lambda xc, xg: rollout_racing_game(
         track, bike_params, lmpc_param, rg_param, sys_param, xc, xg,
         ss_prev, qfun_prev, ss_prev2, qfun_prev2,
         u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
         lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
         n_steps=n_steps, control_dt=control_dt, sub_dt=sub_dt,
-        tracker_iters=tracker_iters,
+        tracker_iters=tracker_iters, dynamics_unroll=dynamics_unroll,
     )
     return jax.vmap(fn)(xcurv0_batch, xglob0_batch)
 

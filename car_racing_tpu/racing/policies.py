@@ -172,12 +172,24 @@ class iLQRRacing(ControlBase):
     Obstacle handling replicates the reference quirk: only the *last*
     non-ego vehicle's prediction is used (control.py:100-105)."""
 
-    def __init__(self, ilqr_param: ILQRParam | None = None, system_param: SystemParam | None = None):
+    def __init__(
+        self,
+        ilqr_param: ILQRParam | None = None,
+        system_param: SystemParam | None = None,
+        warm_start: bool = False,
+    ):
         super().__init__()
         self.ilqr_param = ilqr_param or ILQRParam.default()
         self.system_param = system_param or SystemParam.default()
         self.set_target_speed(float(self.ilqr_param.vt))
         self.set_target_deviation(float(self.ilqr_param.eyt))
+        # Opt-in: shift-warm-starting the nonconvex iLQR solve changes which
+        # local optimum it lands in — cold zero-init settles BEHIND a
+        # blocking car (the reference's behavior, pinned by the goldens);
+        # warm-started solves keep momentum and find the collision-free
+        # PASSING optimum in a few Levenberg iterations instead of ~10-20.
+        self.warm_start = warm_start
+        self._u_warm = None  # shifted previous solution (cold first solve)
 
     def calc_input(self):
         vehicles = self.racing_sim.vehicles
@@ -192,16 +204,19 @@ class iLQRRacing(ControlBase):
         agent_half = jnp.asarray([float(ego.param.length) / 2, float(ego.param.width) / 2])
         obs_half = agent_half  # reference hardcodes car1's dims == CarParam
         with GLOBAL_TIMER.measure("ilqr"):
-            self.u = np.asarray(
-                controllers.ilqr(
-                    jnp.asarray(self.x),
-                    jnp.asarray(self._xtarget()),
-                    self.ilqr_param,
-                    jnp.asarray(obs_traj.T),
-                    agent_half,
-                    obs_half,
-                )
+            u0, U, _ = controllers.ilqr(
+                jnp.asarray(self.x),
+                jnp.asarray(self._xtarget()),
+                self.ilqr_param,
+                jnp.asarray(obs_traj.T),
+                agent_half,
+                obs_half,
+                u_init=self._u_warm if self.warm_start else None,
+                return_seq=True,
             )
+            self.u = np.asarray(u0)
+        # shift-warm-start the next solve (same shift as the fused rollout)
+        self._u_warm = jnp.concatenate([U[1:], U[-1:]], axis=0)
         self._log_none_artifacts(GLOBAL_TIMER.samples["ilqr"][-1])
         self.time += self.timestep
 

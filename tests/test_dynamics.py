@@ -72,6 +72,24 @@ def test_propagate_substeps(track):
     assert float(xc[0]) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_propagate_unroll_equivalent(track):
+    """The substep-scan unroll knob (throughput paths use 10) is physically
+    equivalent to the default sequential scan: same math, only XLA loop
+    structure — any drift over 50 control periods must stay at fp-noise
+    level, far below model/process-noise scales."""
+    p = dynamics.BicycleParams.default()
+    xcurv = jnp.asarray([0.8, 0.01, 0.02, 0.03, 0.5, 0.05])
+    xglob = track_ops.frenet_to_global_state(track, xcurv)
+    u = jnp.asarray([0.05, 0.2])
+    a = (xglob, xcurv)
+    b = (xglob, xcurv)
+    for _ in range(50):
+        a = dynamics.propagate(track, p, a[0], a[1], u)
+        b = dynamics.propagate(track, p, b[0], b[1], u, unroll=10)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-9, atol=1e-9)
+
+
 def test_propagate_consistency_frenet_global(track):
     """After propagation, xglob must equal the Frenet->global image of xcurv."""
     p = dynamics.BicycleParams.default()

@@ -152,6 +152,76 @@ def test_fused_ilqr_matches_host_loop():
     np.testing.assert_allclose(xc[1 : m + 1, 5], host_traj[:m, 5], atol=2e-2)
 
 
+def test_fused_ilqr_warm_start_passes_blocking_car():
+    """Opt-in shift-warm-started iLQR (warm_start=True): the solver keeps
+    momentum and lands in the PASSING local optimum instead of settling
+    behind the blocking car — collision-free by the box metric, faster
+    than the leader, and identical between the host policy and the fused
+    rollout (both shift the same way)."""
+    spec = np.genfromtxt("data/track_layout/ellipse.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    ilqr_param = params.ILQRParam.default(vt=0.8)
+    sysp = params.SystemParam.default()
+    bike = dynamics.BicycleParams.default()
+    obs_s, obs_ey = [0.2, 5.0], [0.0, 0.1]
+    n_steps = 100
+    half = jnp.asarray([0.2, 0.1])
+    xtarget = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
+    xc, us = fused.rollout_ilqr(
+        track, bike, ilqr_param, xtarget, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        jnp.asarray(obs_s), jnp.asarray(obs_ey), half, half, n_steps=n_steps,
+        warm_start=True,
+    )
+    xc = np.asarray(xc)
+    L = float(track.lap_length)
+    t = np.arange(len(xc)) * 0.1
+    s_obs = np.polyval(obs_s, t)
+    ey_obs = np.polyval(obs_ey, t)
+    rel = np.mod(xc[:, 4] - s_obs + L / 2, L) - L / 2
+    assert rel[0] < -1.0 and rel[-1] > 0.5, "warm-started ego never passed"
+    ds = np.abs(rel)
+    dey = np.abs(xc[:, 5] - ey_obs)
+    # collision gates: (a) the degree-6 superellipse the reference's CBF
+    # actually enforces (control.py:544-558) must stay > 1 at every step —
+    # the repelling-cost optimum passes OUTSIDE the barrier; (b) the
+    # axis-aligned box with the same 0.9 leniency the racing-game tests use
+    # (the exact box corner is conservative vs the superellipse and the
+    # optimum grazes it by ~1 cm at one step)
+    barrier = (ds / 0.4) ** 6 + (dey / 0.2) ** 6
+    assert barrier.min() > 1.0, f"inside the CBF superellipse ({barrier.min():.2f})"
+    assert not ((ds < 0.9 * 0.4) & (dey < 0.9 * 0.2)).any(), "collision while passing"
+    # keeps near-target speed instead of crawling behind the 0.2 m/s leader
+    assert xc[n_steps // 2 :, 0].mean() > 0.7
+
+    # host policy with warm_start=True agrees with the fused rollout
+    ego = vehicles.DynamicBicycleModel(name="ego", system_param=sysp)
+    ego.set_zero_noise()
+    ego.set_state_curvilinear(np.zeros(X_DIM))
+    ego.set_state_global(np.zeros(X_DIM))
+    ego.start_logging()
+    policy = policies.iLQRRacing(ilqr_param, sysp, warm_start=True)
+    policy.set_timestep(0.1)
+    policy.set_track(track)
+    ego.set_ctrl_policy(policy)
+    ego.set_track(track)
+    car1 = vehicles.NoDynamicsModel(name="car1")
+    car1.set_track(track)
+    car1.set_state_curvilinear_func(obs_s, obs_ey)
+    car1.start_logging()
+    sim = simulator.CarRacingSim()
+    sim.set_timestep(0.1)
+    sim.set_track(track)
+    sim.add_vehicle(ego)
+    policy.set_racing_sim(sim)
+    sim.add_vehicle(car1)
+    sim.sim(sim_time=n_steps * 0.1)
+    host_traj = np.asarray(ego.xcurv_log)
+    m = min(len(host_traj), n_steps)
+    np.testing.assert_allclose(xc[1 : m + 1, 0], host_traj[:m, 0], atol=2e-2)
+    np.testing.assert_allclose(xc[1 : m + 1, 4], host_traj[:m, 4], atol=5e-2)
+    np.testing.assert_allclose(xc[1 : m + 1, 5], host_traj[:m, 5], atol=2e-2)
+
+
 def test_fused_lmpc_lap_matches_host_loop():
     """Fused LMPC learning lap (fused.rollout_lmpc_lap) vs the host
     LMPCRacingGame loop on the SAME seed safe sets with NO traffic
