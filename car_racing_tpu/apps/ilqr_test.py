@@ -14,7 +14,10 @@ def ilqr_racing(args):
         ego = common.build_ego(track, zero_noise=args.get("zero_noise", False))
         sim = common.build_sim(track)
         sim.add_vehicle(ego)
-        policy = policies.iLQRRacing(params.ILQRParam.default(vt=0.8))
+        policy = policies.iLQRRacing(
+            params.ILQRParam.default(vt=0.8),
+            warm_start=args.get("warm_start", False),
+        )
         common.attach_policy(ego, sim, policy)
         car1 = vehicles.NoDynamicsModel(name="car1")
         car1.set_track(track)
@@ -34,6 +37,10 @@ def main():
     parser.add_argument("--plotting", action="store_true")
     parser.add_argument("--animation", action="store_true")
     parser.add_argument("--zero-noise", action="store_true")
+    # not in the reference driver: shift-warm-start each iLQR solve (the
+    # nonconvex solve then takes the passing line instead of settling
+    # behind traffic — see racing/policies.iLQRRacing)
+    parser.add_argument("--warm-start", action="store_true")
     parser.add_argument("--track-layout", type=str, default="ellipse")
     ilqr_racing(vars(parser.parse_args()))
 
