@@ -24,7 +24,13 @@ Metrics (BASELINE.md: MPC solve latency p50/p99 and solver iters/s):
 - cbf_newton_iters_per_s        — Newton iterations/s on the nonconvex CBF
   path (real per-solve counts from solve_qp_nl over the fused lap)
 - ilqr_step_latency_*_fused     — fused iLQR racing loop (CBF repelling
-  cost, while_loop early exit inside the scan)
+  cost, while_loop early exit inside the scan); *_warm = opt-in
+  shift-warm-started variant
+- lmpc_learning_*               — fused MULTI-LAP learning protocol
+  (add_trajectory promotion inside the scan, host-protocol-exact) +
+  the learning curve's final-lap time vs the MPC seed lap
+- racing_game_*                 — fused racing-game lap (flagship) and the
+  vmapped fleet throughput (dynamics_unroll=10 on the fleet path)
 
 The reference publishes no numbers (BASELINE.md); the north-star target is
 p99 < 10 ms per control-step NLP solve on TPU, i.e. >= 25600 branch
@@ -233,6 +239,35 @@ def main():
     emit("lmpc_fused_lap_time", lap_steps * 0.1, "s", golden_lap_steps / lap_steps)
     emit("lmpc_lap_speedup_vs_pid_seed", float(seed["pid_lap_steps"]) / lap_steps,
          "x", float(seed["pid_lap_steps"]) / lap_steps)
+
+    # ---- 3b. fused MULTI-LAP learning protocol ------------------------------
+    # the whole learning curve in one scan: add_trajectory promotion at
+    # every lap crossing on-device (host-protocol-exact,
+    # tests/test_fused.py::test_fused_lmpc_learning_matches_host_protocol)
+    learn_laps, learn_steps = 3, 500
+
+    def run_learning():
+        xc0 = j("xcurv0") + jnp.asarray(
+            0.01 * rng.standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]), dtype
+        )
+        return fused.rollout_lmpc_learning(
+            track_wide, bike, lmpc_param, sysp, xc0, j("xglob0"),
+            j("ss1"), j("q1"), j("u1"), jnp.asarray(seed["counter"], jnp.int32),
+            j("ss2"), j("q2"), j("u2"), jnp.asarray(seed["pid_lap_steps"], jnp.int32),
+            j("lin_points0"), j("lin_input0"),
+            n_laps=learn_laps, n_steps=learn_steps,
+        )
+
+    out = run_learning()
+    block(out)
+    curve = [int(v) for v in np.asarray(out[2])]
+    assert int(out[3]) == learn_laps, f"learning run incomplete: {curve}"
+    s = _timed(run_learning, reps=5, block=block) * 1e3 / learn_steps
+    emit("lmpc_learning_step_latency_p50_fused", np.percentile(s, 50), "ms",
+         LATENCY_TARGET_MS / np.percentile(s, 50))
+    # the learning curve itself: final learned lap vs the MPC seed lap
+    emit("lmpc_learning_final_lap_time", curve[-1] * 0.1, "s",
+         float(seed["counter"]) / curve[-1])
 
     # ---- 4. 256-branch racing-game corridor sweep ---------------------------
     # the planner's REAL corridor QP (corridor rows, Bezier references,

@@ -397,6 +397,181 @@ def rollout_lmpc_lap(
     return xcurvs, us, dones, lap_steps
 
 
+@partial(jax.jit, static_argnames=("n_laps", "n_steps", "control_dt", "sub_dt"))
+@_highp
+def rollout_lmpc_learning(
+    track: track_ops.Track,
+    bike_params: dynamics.BicycleParams,
+    lmpc_param: LMPCParam,
+    sys_param: SystemParam,
+    xcurv0: jax.Array,
+    xglob0: jax.Array,
+    ss_prev: jax.Array,  # (P, X_DIM) lap iter-1 column (sentinel-padded)
+    qfun_prev: jax.Array,  # (P,) its fully-backfilled Qfun
+    u_prev_lap: jax.Array,  # (P, U_DIM)
+    t_prev: jax.Array,  # () int32: time_ss[iter-1] (lap step count)
+    ss_prev2: jax.Array,  # (P, X_DIM) lap iter-2 column
+    qfun_prev2: jax.Array,  # (P,)
+    u_prev2_lap: jax.Array,  # (P, U_DIM)
+    t_prev2: jax.Array,  # () int32: time_ss[iter-2]
+    lin_points0: jax.Array,  # (N+1, X_DIM)
+    lin_input0: jax.Array,  # (N, U_DIM)
+    n_laps: int = 3,
+    n_steps: int = 600,
+    control_dt: float = 0.1,
+    sub_dt: float = 0.001,
+):
+    """The ENTIRE multi-lap LMPC learning protocol in one on-device scan.
+
+    Where :func:`rollout_lmpc_lap` fuses one learning lap,
+    this fuses the whole learning curve: a continuous scan in which every
+    lap crossing performs the host's ``add_trajectory`` promotion
+    (policies.py:407-433, reference base.py:631-655) *inside* the scan via
+    masked array ops — no host round-trip between laps:
+
+    - the just-driven lap's trajectory is recovered from the ``add_point``
+      appendix it wrote into lap iter-1's column (rows ``t_prev+1 ..
+      t_prev+T`` hold steps 0..T-1 with s+L; the crossing state, s >= L
+      un-wrapped, becomes row T of the new column — matching the host lap
+      memory, vehicles.py:110-136);
+    - its Qfun column is ``(T-1) - arange(P)`` — exactly the host's
+      ``compute_cost_host`` + backfill loop (policies.py:421-427) for a
+      monotone lap, including the quirk that the crossing row backfills to
+      -1 because its 0 cost collides with the "unwritten" sentinel;
+    - lap iter-1 (WITH its appendix — the host mutates the stored column
+      in place, so appended rows persist when it becomes iter-2) is demoted
+      to iter-2, regression validity masks become ``arange < time_ss - 1``
+      of the new columns, and s wraps by one lap length exactly like
+      ``update_memory``.
+
+    Both safe-set columns, their input logs, Qfun columns and lap lengths
+    live in the scan carry; the linearization trajectory, input-rate anchor
+    and QP warm start roll across lap boundaries untouched (the host
+    policy's persist the same way).  Freezes after ``n_laps`` crossings.
+
+    Returns (xcurv_traj (n_steps+1, X) with s wrapped per lap, u_traj
+    (n_steps, U), lap_steps (n_laps,) int32 per-lap step counts — the
+    learning curve, lap_steps*control_dt = the reference's lap-time report
+    (lmpc_test.py:148-155) — and laps_done ()).
+    """
+    N = lmpc_param.num_horizon
+    K_per = lmpc_param.num_ss_points // lmpc_param.num_ss_iter
+    dtype = xcurv0.dtype
+    L = track.lap_length.astype(dtype)
+    W = track.width.astype(dtype)
+    P = ss_prev.shape[0]
+    n_u = N * U_DIM
+    K = lmpc_param.num_ss_points
+    SENTINEL = jnp.asarray(1e4, dtype)
+    rows = jnp.arange(P)
+    lapshift = jnp.zeros(X_DIM, dtype).at[4].set(L)
+
+    z_warm0 = jnp.zeros(n_u + K, dtype).at[n_u:].set(1.0 / K)
+
+    def promote(lap_ss, lap_u, T, xcurv_cross):
+        """Build the new iter-1 column from the lap just driven, host
+        add_trajectory semantics.  Sourced from the CLEAN per-lap buffer,
+        not the add_point appendix: the appendix stores ``x + L`` and
+        un-shifting it re-rounds s by ~1 ulp, which measurably drifts the
+        closed loop off the host protocol (1e-5 m over three laps)."""
+        in_lap = rows < T
+        ss_new = jnp.where(in_lap[:, None], lap_ss, SENTINEL)
+        ss_new = ss_new.at[jnp.clip(T, 0, P - 1)].set(xcurv_cross)
+        u_new = jnp.where(in_lap[:, None], lap_u, SENTINEL)
+        q_new = (T - 1 - rows).astype(dtype)
+        return ss_new, u_new, q_new
+
+    def step(carry, k):
+        (xcurv, xglob, ssA, uA, qA, tA, ssB, uB, qB, tB, lap_ss, lap_u,
+         lin_points, lin_input, u_prev, z_warm, k_in_lap, lap_idx) = carry
+        done = lap_idx >= n_laps
+        x = xcurv.at[4].set(jnp.mod(xcurv[4], L))
+
+        curvs = track_ops.curvature_batch(track, jnp.mod(lin_points[:N, 4], L))
+        A_tv, B_tv, C_tv = lmpc_learning.estimate_abc_horizon(
+            lin_points[:N],
+            lin_input[:N],
+            jnp.stack([ssB, ssA]),
+            jnp.stack([uB, uA]),
+            jnp.stack([rows < tB - 1, rows < tA - 1]),
+            curvs,
+            jnp.asarray(control_dt, dtype),
+        )
+        pts1, q1 = lmpc_learning.select_points(ssA, qA, x, K_per, lmpc_param.shift)
+        pts2, q2 = lmpc_learning.select_points(ssB, qB, x, K_per, lmpc_param.shift)
+        ss_points = jnp.concatenate([pts1, pts2], axis=1)
+        qfun_sel = jnp.concatenate([q1, q2])
+
+        U, X, sol = controllers.lmpc(
+            x, lmpc_param, A_tv, B_tv, C_tv, ss_points, qfun_sel, u_prev,
+            sys_param, L, W, z_warm=z_warm, num_horizon=N,
+        )
+        u = U[0]
+
+        xglob_next, xcurv_next = dynamics.propagate(
+            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+        )
+
+        # add_point into lap iter-1's column (policies.py:400-405), plus the
+        # clean per-lap record promotion sources from
+        idx = jnp.clip(tA + k_in_lap + 1, 0, P - 1)
+        ssA = ssA.at[idx].set(x + lapshift)
+        uA = uA.at[idx].set(u)
+        kidx = jnp.clip(k_in_lap, 0, P - 1)
+        lap_ss = lap_ss.at[kidx].set(x)
+        lap_u = lap_u.at[kidx].set(u)
+
+        crossing = (xcurv_next[4] >= L) & ~done
+        T = (k_in_lap + 1).astype(tA.dtype)
+        ss_new, u_new, q_new = promote(lap_ss, lap_u, T, xcurv_next)
+
+        sel = lambda new, old: jnp.where(crossing, new, old)
+        ssB2, uB2, qB2, tB2 = sel(ssA, ssB), sel(uA, uB), sel(qA, qB), sel(tA, tB)
+        ssA2, uA2, qA2, tA2 = sel(ss_new, ssA), sel(u_new, uA), sel(q_new, qA), sel(T, tA)
+        xcurv_next = sel(xcurv_next - lapshift, xcurv_next)
+        k_in_lap2 = sel(jnp.zeros_like(k_in_lap), k_in_lap + 1)
+        lap_idx2 = lap_idx + crossing.astype(lap_idx.dtype)
+
+        lin_points_next = jnp.concatenate([X[1:], X[-1:]], axis=0)
+        lin_input_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        z_warm_next = jnp.concatenate([U[1:].reshape(-1), U[-1], sol.z[n_u:]])
+
+        frozen = lambda new, old: jnp.where(done, old, new)
+        carry_next = (
+            frozen(xcurv_next, xcurv),
+            frozen(xglob_next, xglob),
+            frozen(ssA2, ssA), frozen(uA2, uA), frozen(qA2, qA), frozen(tA2, tA),
+            frozen(ssB2, ssB), frozen(uB2, uB), frozen(qB2, qB), frozen(tB2, tB),
+            lap_ss, lap_u,
+            frozen(lin_points_next, lin_points),
+            frozen(lin_input_next, lin_input),
+            frozen(u, u_prev),
+            frozen(z_warm_next, z_warm),
+            frozen(k_in_lap2, k_in_lap),
+            frozen(lap_idx2, lap_idx),
+        )
+        return carry_next, (xcurv, u, lap_idx, done)
+
+    i32 = jnp.int32
+    init = (
+        xcurv0, xglob0,
+        ss_prev, u_prev_lap, qfun_prev, jnp.asarray(t_prev, i32),
+        ss_prev2, u_prev2_lap, qfun_prev2, jnp.asarray(t_prev2, i32),
+        jnp.full((P, X_DIM), 1e4, dtype), jnp.full((P, U_DIM), 1e4, dtype),
+        lin_points0, lin_input0,
+        jnp.zeros(U_DIM, dtype), z_warm0,
+        jnp.asarray(0, i32), jnp.asarray(0, i32),
+    )
+    final, (xcurvs, us, lap_ids, dones) = jax.lax.scan(step, init, jnp.arange(n_steps))
+    xcurvs = jnp.concatenate([xcurvs, final[0][None]], axis=0)
+    active = ~dones
+    lap_steps = jnp.stack(
+        [jnp.sum(active & (lap_ids == j)) for j in range(n_laps)]
+    ).astype(i32)
+    laps_done = final[-1]
+    return xcurvs, us, lap_steps, laps_done
+
+
 @partial(
     jax.jit,
     static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters", "dynamics_unroll"),

@@ -314,6 +314,101 @@ def test_fused_lmpc_lap_matches_host_loop():
     assert dvx.max() < 1e-6, f"vx diverged by {dvx.max():.2e} m/s"
 
 
+def test_fused_lmpc_learning_matches_host_protocol():
+    """The fused MULTI-LAP learning rollout (fused.rollout_lmpc_learning)
+    vs the host protocol: three consecutive LMPC laps with add_trajectory
+    promotion at each boundary, from the same committed seed laps.
+
+    The fused path performs the host's add_trajectory inside the scan
+    (appendix recovery, Qfun = (T-1)-arange backfill, column demotion,
+    s wrap), so lap step counts must match exactly and trajectories agree
+    to solver tolerance across ALL laps.  Lap times must also improve
+    monotonically from the MPC seed lap — the learning curve."""
+    seed = np.load("data/bench/lmpc_seed_l_shape.npz")
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    opti_xc = np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=",")
+    opti_xg = np.genfromtxt("data/optimal_traj/xglob_l_shape.csv", delimiter=",")
+    L = float(track.lap_length)
+    timestep = 0.1
+    n_laps = 3
+
+    # ---- host protocol: 3 LMPC laps + add_trajectory at each boundary -----
+    lmpc = policies.LMPCRacingGame(
+        params.LMPCParam.default(),
+        racing_game_param=params.RacingGameParam.default(alpha=0.8),
+        system_param=params.SystemParam.default(),
+        timestep=timestep, lap_number=2 + n_laps, time_lmpc=1000.0,
+    )
+    lmpc.set_track(track)
+    lmpc.set_timestep(timestep)
+    lmpc.set_opti_traj(opti_xc, opti_xg)
+    P = seed["ss1"].shape[0]
+    lmpc.ss_xcurv[:P, :, 0] = seed["ss2"]
+    lmpc.ss_xcurv[:P, :, 1] = seed["ss1"]
+    lmpc.u_ss[:P, :, 0] = seed["u2"]
+    lmpc.u_ss[:P, :, 1] = seed["u1"]
+    lmpc.Qfun[:P, 0] = seed["q2"]
+    lmpc.Qfun[:P, 1] = seed["q1"]
+    lmpc.time_ss[0] = int(seed["pid_lap_steps"])
+    lmpc.time_ss[1] = int(seed["counter"])
+    lmpc.iter = 2
+    lmpc.lin_points = np.asarray(seed["lin_points0"])
+    lmpc.lin_input = np.asarray(seed["lin_input0"])
+
+    ego = vehicles.DynamicBicycleModel(name="ego", system_param=params.SystemParam.default())
+    ego.set_timestep(timestep)
+    ego.set_zero_noise()
+    ego.set_state_curvilinear(np.asarray(seed["xcurv0"]))
+    ego.set_state_global(np.asarray(seed["xglob0"]))
+    ego.start_logging()
+    ego.set_ctrl_policy(lmpc)
+
+    sim = simulator.CarRacingSim()
+    sim.set_timestep(timestep)
+    sim.set_track(track)
+    sim.add_vehicle(ego)
+    sim.set_opti_traj(opti_xg)
+    lmpc.set_racing_sim(sim)
+    lmpc.set_vehicles_track()
+    for lap in range(n_laps):
+        sim.sim(sim_time=40.0, one_lap=True, one_lap_name="ego")
+        lmpc.add_trajectory(ego, lap)
+    host_traj = np.asarray(ego.xcurv_log)
+    host_lap_steps = [int(lmpc.time_ss[2 + j]) for j in range(n_laps)]
+    assert lmpc.iter == 2 + n_laps
+
+    # ---- fused multi-lap rollout on the identical seed --------------------
+    j = lambda k: jnp.asarray(seed[k])
+    xc, us, lap_steps, laps_done = fused.rollout_lmpc_learning(
+        track, dynamics.BicycleParams.default(),
+        params.LMPCParam.default(), params.SystemParam.default(),
+        j("xcurv0"), j("xglob0"),
+        j("ss1"), j("q1"), j("u1"), jnp.asarray(seed["counter"], jnp.int32),
+        j("ss2"), j("q2"), j("u2"), jnp.asarray(seed["pid_lap_steps"], jnp.int32),
+        j("lin_points0"), j("lin_input0"), n_laps=n_laps, n_steps=500,
+    )
+    assert int(laps_done) == n_laps
+    lap_steps = [int(v) for v in np.asarray(lap_steps)]
+    xc = np.asarray(xc)
+
+    # exact lap-step agreement, every lap
+    assert lap_steps == host_lap_steps, (lap_steps, host_lap_steps)
+    # learning curve: monotone improvement from the MPC seed lap
+    curve = [int(seed["counter"])] + lap_steps
+    assert all(a > b for a, b in zip(curve, curve[1:])), curve
+    # trajectory agreement to solver tolerance across all laps (host
+    # xcurv_log[k] = state AFTER step k, s wrapped per lap; fused xc[k] =
+    # state BEFORE step k, also wrapped — one-step shift)
+    m = sum(lap_steps)
+    ds = np.abs(np.mod(xc[1 : m + 1, 4] - host_traj[:m, 4] + L / 2, L) - L / 2)
+    dey = np.abs(xc[1 : m + 1, 5] - host_traj[:m, 5])
+    dvx = np.abs(xc[1 : m + 1, 0] - host_traj[:m, 0])
+    assert ds.max() < 1e-6, f"s diverged by {ds.max():.2e} m"
+    assert dey.max() < 1e-6, f"ey diverged by {dey.max():.2e} m"
+    assert dvx.max() < 1e-6, f"vx diverged by {dvx.max():.2e} m/s"
+
+
 def test_fused_racing_game_lap():
     """The FLAGSHIP path fully fused: one on-device racing-game lap (LMPC
     dispatch <-> corridor branch planner + warm-started multi-agent CBF
