@@ -19,10 +19,31 @@ from ..racing import policies
 from ..utils import params
 
 
+def fused_protocol(args):
+    """--fused-protocol: the whole learning protocol as fused on-device
+    rollouts (racing/protocol.py) — no reference analog.  Prints the same
+    lap-time report as the host protocol (lmpc_test.py:148-155)."""
+    from ..racing import protocol
+
+    layout = args["track_layout"]
+    lap_number = args["lap_number"] or 7
+    timestep = 0.1
+    track = common.build_track(layout, width=1.0)
+    out = protocol.run_learning_protocol(
+        track, n_laps=max(lap_number - 2, 1),
+        n_steps_learn=args.get("n_steps_learn") or 600,
+    )
+    for i, steps in enumerate(out["lap_steps"]):
+        print(f"lap time at iteration {i} is {steps * timestep:.2f} s")
+
+
 def lmpc_racing(args):
     layout = args["track_layout"]
     lap_number = args["lap_number"] or 7
     timestep = 0.1
+    if args.get("fused_protocol"):
+        fused_protocol(args)
+        return
     if args["simulation"]:
         track = common.build_track(layout, width=1.0)
         opti_traj_xcurv = np.genfromtxt(f"data/optimal_traj/xcurv_{layout}.csv", delimiter=",")
@@ -105,6 +126,10 @@ def main():
     parser.add_argument("--direct-lmpc", action="store_true")
     parser.add_argument("--zero-noise", action="store_true")
     parser.add_argument("--save-trajectory", action="store_true")
+    # not in the reference driver: run the whole protocol as fused
+    # on-device rollouts (racing/protocol.py)
+    parser.add_argument("--fused-protocol", action="store_true")
+    parser.add_argument("--n-steps-learn", type=int, default=None)
     lmpc_racing(vars(parser.parse_args()))
 
 

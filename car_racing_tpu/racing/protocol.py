@@ -1,0 +1,154 @@
+"""The complete LMPC learning protocol from a standing start, on-device.
+
+The reference's ``lmpc_test.py`` protocol (lmpc_test.py:58-139) is: drive a
+PID lap and an MPC-LTI lap to seed the safe set, promote both via
+``add_trajectory``, then run LMPC learning laps.  The host runs this as
+hundreds of per-step Python->solver round-trips; here each stage is ONE
+fused on-device rollout —
+
+  PID seed lap  ->  MPC-LTI seed lap  ->  rollout_lmpc_learning(n_laps)
+
+— with the only host work being the numpy lap-cut + column construction
+between stages (exactly the host ``add_trajectory`` semantics pinned by
+tests/test_fused.py::test_fused_lmpc_learning_matches_host_protocol).
+
+``run_learning_protocol`` is the zero-to-learned-raceline story: from a
+zero state it returns the full learning curve (lap step counts per
+iteration, PID seed first) plus the final trajectories.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import controllers
+from ..ops import dynamics, track as track_ops
+from ..utils.constants import U_DIM, X_DIM
+from ..utils.params import LMPCParam, MPCParam, SystemParam
+from . import fused
+
+SENTINEL = 1e4
+
+
+@partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+def rollout_pid(
+    track: track_ops.Track,
+    bike_params: dynamics.BicycleParams,
+    xtarget: jax.Array,
+    xcurv0: jax.Array,
+    xglob0: jax.Array,
+    n_steps: int = 400,
+    control_dt: float = 0.1,
+    sub_dt: float = 0.001,
+):
+    """Closed-loop PID tracking in one scan (reference control.py:15-25
+    inside the offboard loop).  Returns (xcurv_traj, u_traj)."""
+
+    def step(carry, _):
+        xcurv, xglob = carry
+        u = controllers.pid(xcurv, xtarget)
+        xglob_next, xcurv_next = dynamics.propagate(
+            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+        )
+        return (xcurv_next, xglob_next), (xcurv, u)
+
+    (xcurv_T, _), (xcurvs, us) = jax.lax.scan(step, (xcurv0, xglob0), None, length=n_steps)
+    return jnp.concatenate([xcurvs, xcurv_T[None]], axis=0), us
+
+
+def lap_column_from_traj(xc: np.ndarray, us: np.ndarray, lap_length: float, P: int):
+    """Cut the first completed lap out of a rollout trajectory and build its
+    safe-set column with host ``add_trajectory`` semantics
+    (racing/policies.py:407-433):
+
+    rows 0..T-1 = in-lap states, row T = the crossing state with s un-wrapped
+    (>= lap_length); u rows 0..T-1; Qfun = (T-1) - arange(P) (the backfill
+    loop's value everywhere, including the crossing row's -1 quirk).
+
+    Returns (ss (P,X), u (P,U), q (P,), T, wrapped crossing state) — the
+    wrapped state seeds the next stage.
+    """
+    xc = np.asarray(xc)
+    us = np.asarray(us)
+    crossed = np.nonzero(xc[:, 4] >= lap_length)[0]
+    if len(crossed) == 0:
+        raise RuntimeError("rollout never completed a lap; raise n_steps")
+    T = int(crossed[0])  # first row with s >= L == end_iter steps
+    ss = np.full((P, X_DIM), SENTINEL)
+    uu = np.full((P, U_DIM), SENTINEL)
+    ss[: T + 1] = xc[: T + 1]
+    uu[:T] = us[:T]
+    q = (T - 1) - np.arange(P, dtype=float)
+    x_wrapped = np.array(xc[T], copy=True)
+    x_wrapped[4] -= lap_length
+    return ss, uu, q, T, x_wrapped
+
+
+def run_learning_protocol(
+    track: track_ops.Track,
+    bike_params: dynamics.BicycleParams | None = None,
+    lmpc_param: LMPCParam | None = None,
+    mpc_param: MPCParam | None = None,
+    sys_param: SystemParam | None = None,
+    n_laps: int = 3,
+    seed_vt: float = 0.7,
+    P: int = 700,
+    n_steps_seed: int = 400,
+    n_steps_learn: int = 600,
+):
+    """Zero state -> PID lap -> MPC lap -> n_laps of fused LMPC learning.
+
+    Returns a dict with the learning curve ``lap_steps`` ([PID, MPC,
+    lmpc_1..n]), the learning rollout's trajectory/inputs, and the final
+    safe-set columns (checkpointable via utils/checkpoint.py).
+    """
+    bike_params = bike_params or dynamics.BicycleParams.default()
+    lmpc_param = lmpc_param or LMPCParam.default()
+    mpc_param = mpc_param or MPCParam.default(vt=seed_vt)
+    sys_param = sys_param or SystemParam.default()
+    L = float(track.lap_length)
+    N = lmpc_param.num_horizon
+    xtarget = jnp.asarray([seed_vt, 0, 0, 0, 0, 0.0])
+
+    # stage 1: PID seed lap (reference lap 0)
+    xc, us = rollout_pid(
+        track, bike_params, xtarget, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        n_steps=n_steps_seed,
+    )
+    ss0, u0, q0, t0, x_w = lap_column_from_traj(xc, us, L, P)
+
+    # stage 2: MPC-LTI seed lap (reference lap 1), continuing from the wrap
+    xg_w = np.asarray(track_ops.frenet_to_global_state(track, jnp.asarray(x_w)))
+    xc, us = fused.rollout_mpc_tracking(
+        track, bike_params, mpc_param, sys_param, xtarget,
+        jnp.asarray(x_w), jnp.asarray(xg_w), n_steps=n_steps_seed,
+    )
+    ss1, u1, q1, t1, x_w = lap_column_from_traj(xc, us, L, P)
+
+    # stage 3: the fused multi-lap learning rollout (laps 2..)
+    # lin seed = host add_trajectory's iter==0 branch (policies.py:428-431)
+    lin_points0 = jnp.asarray(ss0[1 : N + 2])
+    lin_input0 = jnp.asarray(u0[1 : N + 1])
+    xg_w = np.asarray(track_ops.frenet_to_global_state(track, jnp.asarray(x_w)))
+    xc, us, lap_steps, laps_done = fused.rollout_lmpc_learning(
+        track, bike_params, lmpc_param, sys_param,
+        jnp.asarray(x_w), jnp.asarray(xg_w),
+        jnp.asarray(ss1), jnp.asarray(q1), jnp.asarray(u1), jnp.asarray(t1, jnp.int32),
+        jnp.asarray(ss0), jnp.asarray(q0), jnp.asarray(u0), jnp.asarray(t0, jnp.int32),
+        lin_points0, lin_input0, n_laps=n_laps, n_steps=n_steps_learn,
+    )
+    if int(laps_done) < n_laps:
+        raise RuntimeError(
+            f"learning rollout finished only {int(laps_done)}/{n_laps} laps; "
+            "raise n_steps_learn"
+        )
+    return {
+        "lap_steps": [t0, t1] + [int(v) for v in np.asarray(lap_steps)],
+        "xcurv": np.asarray(xc),
+        "u": np.asarray(us),
+        "seed_columns": {"ss0": ss0, "q0": q0, "ss1": ss1, "q1": q1},
+    }

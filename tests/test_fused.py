@@ -409,6 +409,30 @@ def test_fused_lmpc_learning_matches_host_protocol():
     assert dvx.max() < 1e-6, f"vx diverged by {dvx.max():.2e} m/s"
 
 
+def test_learning_protocol_from_scratch():
+    """racing/protocol.run_learning_protocol: the reference's full
+    lmpc_test protocol (PID seed lap -> MPC seed lap -> LMPC learning laps,
+    lmpc_test.py:58-139) with every stage a fused on-device rollout and
+    only numpy lap-cut/column glue between stages.  The learning curve
+    must decrease monotonically from a standing start."""
+    from car_racing_tpu.racing import protocol
+
+    track = track_ops.load_track("l_shape", width=1.0)
+    out = protocol.run_learning_protocol(track, n_laps=3)
+    curve = out["lap_steps"]
+    assert len(curve) == 5  # PID, MPC, 3 learned laps
+    assert all(a > b for a, b in zip(curve, curve[1:])), curve
+    # the learned laps land in the same regime as the host-seeded fused
+    # learning test (179 -> 121 -> 87 on the committed seed)
+    assert curve[-1] < 100, curve
+    # column construction keeps host add_trajectory structure
+    ss1, q1 = out["seed_columns"]["ss1"], out["seed_columns"]["q1"]
+    T = curve[1]
+    assert ss1[T, 4] >= float(track.lap_length)  # crossing row un-wrapped
+    assert (ss1[T + 1 :] == 1e4).all()  # sentinel beyond the lap
+    np.testing.assert_allclose(q1, (T - 1) - np.arange(len(q1)))
+
+
 def test_fused_racing_game_lap():
     """The FLAGSHIP path fully fused: one on-device racing-game lap (LMPC
     dispatch <-> corridor branch planner + warm-started multi-agent CBF
