@@ -60,17 +60,11 @@ def rollout_pid(
     return jnp.concatenate([xcurvs, xcurv_T[None]], axis=0), us
 
 
-def lap_column_from_traj(xc: np.ndarray, us: np.ndarray, lap_length: float, P: int):
-    """Cut the first completed lap out of a rollout trajectory and build its
-    safe-set column with host ``add_trajectory`` semantics
-    (racing/policies.py:407-433):
+def cut_first_lap(xc: np.ndarray, us: np.ndarray, lap_length: float):
+    """Cut the first completed lap out of a rollout trajectory.
 
-    rows 0..T-1 = in-lap states, row T = the crossing state with s un-wrapped
-    (>= lap_length); u rows 0..T-1; Qfun = (T-1) - arange(P) (the backfill
-    loop's value everywhere, including the crossing row's -1 quirk).
-
-    Returns (ss (P,X), u (P,U), q (P,), T, wrapped crossing state) — the
-    wrapped state seeds the next stage.
+    Returns (lap_xc (T+1, X) with the crossing row un-wrapped, lap_u (T, U),
+    T, wrapped crossing state) — the wrapped state seeds the next stage.
     """
     xc = np.asarray(xc)
     us = np.asarray(us)
@@ -78,14 +72,24 @@ def lap_column_from_traj(xc: np.ndarray, us: np.ndarray, lap_length: float, P: i
     if len(crossed) == 0:
         raise RuntimeError("rollout never completed a lap; raise n_steps")
     T = int(crossed[0])  # first row with s >= L == end_iter steps
-    ss = np.full((P, X_DIM), SENTINEL)
-    uu = np.full((P, U_DIM), SENTINEL)
-    ss[: T + 1] = xc[: T + 1]
-    uu[:T] = us[:T]
-    q = (T - 1) - np.arange(P, dtype=float)
     x_wrapped = np.array(xc[T], copy=True)
     x_wrapped[4] -= lap_length
-    return ss, uu, q, T, x_wrapped
+    return xc[: T + 1], us[:T], T, x_wrapped
+
+
+def lap_column_from_traj(lap_xc: np.ndarray, lap_u: np.ndarray, P: int):
+    """Build a safe-set column from a cut lap with host ``add_trajectory``
+    semantics (racing/policies.py:407-433): rows 0..T-1 = in-lap states,
+    row T = the crossing state with s un-wrapped; u rows 0..T-1;
+    Qfun = (T-1) - arange(P) (the backfill loop's value everywhere,
+    including the crossing row's -1 quirk)."""
+    T = len(lap_xc) - 1
+    ss = np.full((P, X_DIM), SENTINEL)
+    uu = np.full((P, U_DIM), SENTINEL)
+    ss[: T + 1] = lap_xc
+    uu[:T] = lap_u
+    q = (T - 1) - np.arange(P, dtype=float)
+    return ss, uu, q
 
 
 def run_learning_protocol(
@@ -96,11 +100,16 @@ def run_learning_protocol(
     sys_param: SystemParam | None = None,
     n_laps: int = 3,
     seed_vt: float = 0.7,
-    P: int = 700,
-    n_steps_seed: int = 400,
-    n_steps_learn: int = 600,
+    P: int | None = None,
+    n_steps_seed: int | None = None,
+    n_steps_learn: int | None = None,
 ):
     """Zero state -> PID lap -> MPC lap -> n_laps of fused LMPC learning.
+
+    ``P`` (safe-set column rows), ``n_steps_seed`` and ``n_steps_learn``
+    auto-size from the track length / measured seed laps when omitted, so
+    the protocol runs unmodified on all four layouts (l_shape 19.2 m
+    through m_shape 49.8 m).
 
     Returns a dict with the learning curve ``lap_steps`` ([PID, MPC,
     lmpc_1..n]), the learning rollout's trajectory/inputs, and the final
@@ -113,13 +122,15 @@ def run_learning_protocol(
     L = float(track.lap_length)
     N = lmpc_param.num_horizon
     xtarget = jnp.asarray([seed_vt, 0, 0, 0, 0, 0.0])
+    # 1.8x the steady-state lap at seed_vt covers the standing-start ramp
+    n_steps_seed = n_steps_seed or int(L / seed_vt / 0.1 * 1.8)
 
     # stage 1: PID seed lap (reference lap 0)
     xc, us = rollout_pid(
         track, bike_params, xtarget, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         n_steps=n_steps_seed,
     )
-    ss0, u0, q0, t0, x_w = lap_column_from_traj(xc, us, L, P)
+    lap_xc0, lap_u0, t0, x_w = cut_first_lap(xc, us, L)
 
     # stage 2: MPC-LTI seed lap (reference lap 1), continuing from the wrap
     xg_w = np.asarray(track_ops.frenet_to_global_state(track, jnp.asarray(x_w)))
@@ -127,7 +138,14 @@ def run_learning_protocol(
         track, bike_params, mpc_param, sys_param, xtarget,
         jnp.asarray(x_w), jnp.asarray(xg_w), n_steps=n_steps_seed,
     )
-    ss1, u1, q1, t1, x_w = lap_column_from_traj(xc, us, L, P)
+    lap_xc1, lap_u1, t1, x_w = cut_first_lap(xc, us, L)
+
+    # column rows: lap iter-1's column must also hold the next lap's
+    # add_point appendix (rows t1+1 .. t1+T_next, T_next <= t1)
+    P = P or 2 * max(t0, t1) + N + 3
+    ss0, u0, q0 = lap_column_from_traj(lap_xc0, lap_u0, P)
+    ss1, u1, q1 = lap_column_from_traj(lap_xc1, lap_u1, P)
+    n_steps_learn = n_steps_learn or (n_laps * t1 + 10)
 
     # stage 3: the fused multi-lap learning rollout (laps 2..)
     # lin seed = host add_trajectory's iter==0 branch (policies.py:428-431)
