@@ -371,6 +371,21 @@ def main():
     fleet_target = 1.0 / (LATENCY_TARGET_MS * 1e-3)  # lane-steps/s at 10 ms each
     emit("racing_game_fleet_lane_steps_per_s", thr, "1/s", thr / fleet_target)
 
+    # ---- 8. learning fleet (scenario DP over the learning protocol) ---------
+    # B independent multi-lap learning curves from shared seed columns via
+    # rollout_lmpc_learning_batch (in-scan add_trajectory promotion per lane)
+    def run_learn_fleet():
+        return fused.rollout_lmpc_learning_batch(
+            track_wide, bike, lmpc_param, sysp, xc0_b, xg0_b,
+            j("ss1"), j("q1"), j("u1"), jnp.asarray(seed["counter"], jnp.int32),
+            j("ss2"), j("q2"), j("u2"), jnp.asarray(seed["pid_lap_steps"], jnp.int32),
+            j("lin_points0"), j("lin_input0"), n_laps=1, n_steps=fleet_steps,
+        )
+
+    t = _timed(run_learn_fleet, reps=5, block=block)
+    thr = lane_steps / float(np.percentile(t, 50))
+    emit("learning_fleet_lane_steps_per_s", thr, "1/s", thr / fleet_target)
+
 
 if __name__ == "__main__":
     main()

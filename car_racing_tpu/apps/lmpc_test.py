@@ -31,10 +31,13 @@ def fused_protocol(args):
     track = common.build_track(layout, width=1.0)
     out = protocol.run_learning_protocol(
         track, n_laps=max(lap_number - 2, 1),
-        n_steps_learn=args.get("n_steps_learn") or 600,
+        n_steps_learn=args.get("n_steps_learn"),
     )
     for i, steps in enumerate(out["lap_steps"]):
         print(f"lap time at iteration {i} is {steps * timestep:.2f} s")
+    if args.get("save_trajectory"):
+        best = protocol.export_learned_raceline(out, track, layout)
+        print(f"exported learned raceline from iteration {best}")
 
 
 def lmpc_racing(args):

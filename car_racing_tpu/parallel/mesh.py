@@ -224,6 +224,54 @@ def fleet_rollout(
     return jax.jit(run)(xcurv0_batch, xglob0_batch)
 
 
+def learning_fleet(
+    mesh: Mesh,
+    track, bike_params, lmpc_param, sys_param,
+    xcurv0_batch: jax.Array,  # (B, X_DIM), B divisible by the device count
+    xglob0_batch: jax.Array,
+    ss_prev, qfun_prev, u_prev_lap, t_prev,
+    ss_prev2, qfun_prev2, u_prev2_lap, t_prev2,
+    lin_points0, lin_input0,
+    n_laps: int = 3,
+    n_steps: int = 600,
+):
+    """A fleet of complete multi-lap LMPC learning protocols sharded
+    across every device of the mesh: each device runs its shard of
+    independent learning curves (racing/fused.rollout_lmpc_learning, the
+    in-scan add_trajectory promotion included) from shared seed columns.
+    Embarrassingly parallel during the curves; exchange learned racelines
+    afterwards with :func:`safe_set_exchange`.
+
+    Returns the same tuple as racing/fused.rollout_lmpc_learning_batch."""
+    from ..racing import fused
+
+    shared = (
+        ss_prev, qfun_prev, u_prev_lap, t_prev,
+        ss_prev2, qfun_prev2, u_prev2_lap, t_prev2,
+        lin_points0, lin_input0,
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(("scenario", "branch")), P(("scenario", "branch"))),
+        out_specs=(
+            P(("scenario", "branch")),
+            P(("scenario", "branch")),
+            P(("scenario", "branch")),
+            P(("scenario", "branch")),
+        ),
+        check_vma=False,
+    )
+    def run(xc_l, xg_l):
+        return fused.rollout_lmpc_learning_batch(
+            track, bike_params, lmpc_param, sys_param,
+            xc_l, xg_l, *shared, n_laps=n_laps, n_steps=n_steps,
+        )
+
+    return jax.jit(run)(xcurv0_batch, xglob0_batch)
+
+
 def safe_set_exchange(mesh: Mesh, lap_traj: jax.Array):
     """All-gather each scenario shard's newest lap trajectory so every
     device holds the full safe set (the LMPC safe-set exchange of SURVEY

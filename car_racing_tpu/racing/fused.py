@@ -397,7 +397,10 @@ def rollout_lmpc_lap(
     return xcurvs, us, dones, lap_steps
 
 
-@partial(jax.jit, static_argnames=("n_laps", "n_steps", "control_dt", "sub_dt"))
+@partial(
+    jax.jit,
+    static_argnames=("n_laps", "n_steps", "control_dt", "sub_dt", "dynamics_unroll"),
+)
 @_highp
 def rollout_lmpc_learning(
     track: track_ops.Track,
@@ -420,6 +423,7 @@ def rollout_lmpc_learning(
     n_steps: int = 600,
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
+    dynamics_unroll: int = 1,
 ):
     """The ENTIRE multi-lap LMPC learning protocol in one on-device scan.
 
@@ -509,7 +513,8 @@ def rollout_lmpc_learning(
         u = U[0]
 
         xglob_next, xcurv_next = dynamics.propagate(
-            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+            track, bike_params, xglob, xcurv, u,
+            control_dt=control_dt, sub_dt=sub_dt, unroll=dynamics_unroll,
         )
 
         # add_point into lap iter-1's column (policies.py:400-405), plus the
@@ -885,6 +890,38 @@ def rollout_racing_game_batch(
         lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
         n_steps=n_steps, control_dt=control_dt, sub_dt=sub_dt,
         tracker_iters=tracker_iters, dynamics_unroll=dynamics_unroll,
+    )
+    return jax.vmap(fn)(xcurv0_batch, xglob0_batch)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_laps", "n_steps", "control_dt", "sub_dt", "dynamics_unroll"),
+)
+@_highp
+def rollout_lmpc_learning_batch(
+    track, bike_params, lmpc_param, sys_param,
+    xcurv0_batch, xglob0_batch,  # (B, X_DIM) per-lane starts
+    ss_prev, qfun_prev, u_prev_lap, t_prev,
+    ss_prev2, qfun_prev2, u_prev2_lap, t_prev2,
+    lin_points0, lin_input0,
+    n_laps: int = 3, n_steps: int = 600,
+    control_dt: float = 0.1, sub_dt: float = 0.001,
+    dynamics_unroll: int = 10,
+):
+    """vmap of :func:`rollout_lmpc_learning` over a batch of initial
+    states: B independent multi-lap learning curves from shared seed
+    columns (scenario DP over the learning protocol itself; shard across
+    a mesh with parallel/mesh.learning_fleet).  Like the racing-game
+    fleet, this is a throughput path with no bitwise host twin, so the
+    dynamics substep scan unrolls by default."""
+    fn = lambda xc, xg: rollout_lmpc_learning(
+        track, bike_params, lmpc_param, sys_param, xc, xg,
+        ss_prev, qfun_prev, u_prev_lap, t_prev,
+        ss_prev2, qfun_prev2, u_prev2_lap, t_prev2,
+        lin_points0, lin_input0,
+        n_laps=n_laps, n_steps=n_steps, control_dt=control_dt,
+        sub_dt=sub_dt, dynamics_unroll=dynamics_unroll,
     )
     return jax.vmap(fn)(xcurv0_batch, xglob0_batch)
 

@@ -170,3 +170,32 @@ def run_learning_protocol(
         "u": np.asarray(us),
         "seed_columns": {"ss0": ss0, "q0": q0, "ss1": ss1, "q1": q1},
     }
+
+
+def export_learned_raceline(out: dict, track, layout: str, data_dir: str = "data"):
+    """Export the fastest learned lap of a ``run_learning_protocol`` result
+    as optimal-trajectory CSVs, the reference's save-trajectory format
+    (lmpc_test.py:166-178; host analog: utils/checkpoint.export_raceline).
+
+    Returns the (protocol-wide) iteration index of the exported lap."""
+    import os
+
+    lap_steps = out["lap_steps"]
+    learned = lap_steps[2:]
+    best = int(np.argmin(learned))
+    off = int(np.sum(learned[:best], dtype=int))
+    T = learned[best]
+    xc = out["xcurv"]
+    L = float(track.lap_length)
+    # lap rows off..off+T-1 (wrapped states) + the crossing row un-wrapped
+    # (the learning rollout's carry wraps s at the boundary)
+    lap = np.array(xc[off : off + T + 1], copy=True)
+    lap[T, 4] += L
+    xg = np.stack(
+        [np.asarray(track_ops.frenet_to_global_state(track, jnp.asarray(row)))
+         for row in lap]
+    )
+    os.makedirs(f"{data_dir}/optimal_traj", exist_ok=True)
+    np.savetxt(f"{data_dir}/optimal_traj/xcurv_{layout}_learned.csv", lap, delimiter=",")
+    np.savetxt(f"{data_dir}/optimal_traj/xglob_{layout}_learned.csv", xg, delimiter=",")
+    return 2 + best

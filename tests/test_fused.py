@@ -431,6 +431,18 @@ def test_learning_protocol_from_scratch():
     assert ss1[T, 4] >= float(track.lap_length)  # crossing row un-wrapped
     assert (ss1[T + 1 :] == 1e4).all()  # sentinel beyond the lap
     np.testing.assert_allclose(q1, (T - 1) - np.arange(len(q1)))
+    # raceline export: fastest learned lap in the reference CSV format
+    import tempfile
+
+    from car_racing_tpu.racing import protocol as protocol_mod
+
+    with tempfile.TemporaryDirectory() as d:
+        it = protocol_mod.export_learned_raceline(out, track, "l_shape", data_dir=d)
+        assert it == 2 + int(np.argmin(curve[2:]))
+        lap = np.loadtxt(f"{d}/optimal_traj/xcurv_l_shape_learned.csv", delimiter=",")
+        assert lap.shape == (min(curve[2:]) + 1, X_DIM)
+        assert lap[0, 4] < 1.0 and lap[-1, 4] >= float(track.lap_length)
+        assert (np.diff(lap[:, 4]) > 0).all()  # monotone raceline
 
 
 def test_fused_racing_game_lap():

@@ -189,6 +189,55 @@ def test_fleet_rollout_shards_racing_game(mesh):
     assert (progress > 0.5).all(), progress  # every lane moves forward
 
 
+def test_learning_fleet_shards_protocol(mesh):
+    """A fleet of multi-lap LMPC learning protocols sharded over all 8
+    devices (mesh_mod.learning_fleet): every lane must complete its lap
+    with in-scan add_trajectory promotion, deterministically, from shared
+    seed columns."""
+    from car_racing_tpu.ops import dynamics, track as track_ops
+    from car_racing_tpu.racing import fused
+    from car_racing_tpu.utils import params
+
+    seed = np.load("data/bench/lmpc_seed_l_shape.npz")
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    j = lambda k: jnp.asarray(seed[k])
+    B, n_steps = 8, 200
+    rng = np.random.default_rng(7)
+    pert = np.zeros((B, X_DIM))
+    pert[:, 5] = rng.normal(0, 0.01, B)
+    xc0 = jnp.asarray(np.asarray(seed["xcurv0"]) + pert)
+    xg0 = jnp.broadcast_to(j("xglob0"), (B, X_DIM))
+    args = (
+        track, dynamics.BicycleParams.default(), params.LMPCParam.default(),
+        params.SystemParam.default(),
+    )
+    shared = (
+        j("ss1"), j("q1"), j("u1"), jnp.asarray(seed["counter"], jnp.int32),
+        j("ss2"), j("q2"), j("u2"), jnp.asarray(seed["pid_lap_steps"], jnp.int32),
+        j("lin_points0"), j("lin_input0"),
+    )
+
+    xc_f, us_f, lap_steps, laps_done = mesh_mod.learning_fleet(
+        mesh, *args, xc0, xg0, *shared, n_laps=1, n_steps=n_steps
+    )
+    assert xc_f.shape == (B, n_steps + 1, X_DIM)
+    assert lap_steps.shape == (B, 1)
+    # every lane completes its learning lap, in the regime of the
+    # host-seeded first LMPC lap (179 steps on the unperturbed seed)
+    assert (np.asarray(laps_done) == 1).all()
+    lap_steps = np.asarray(lap_steps)[:, 0]
+    assert (lap_steps > 150).all() and (lap_steps < 200).all(), lap_steps
+    xc_f = np.asarray(xc_f)
+    assert np.isfinite(xc_f).all()
+    assert np.abs(xc_f[:, :, 5]).max() < 1.0  # on track
+    # deterministic: a second sharded run is bitwise identical
+    xc_f2, _, ls2, _ = mesh_mod.learning_fleet(
+        mesh, *args, xc0, xg0, *shared, n_laps=1, n_steps=n_steps
+    )
+    np.testing.assert_array_equal(xc_f, np.asarray(xc_f2))
+
+
 def test_safe_set_exchange(mesh):
     lap = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, X_DIM)))
     full = mesh_mod.safe_set_exchange(mesh, lap)
