@@ -177,6 +177,14 @@ def corridor_sweep(
     return compiled(*args)
 
 
+# compiled fleet programs, keyed on (kind, mesh, lane shape/dtype, statics):
+# every array input is a real argument of the jitted function (nothing is
+# closed over, so nothing is baked in as a constant), which makes the cache
+# safe across changing safe sets / traffic and kills the per-call re-trace
+# of the heaviest sharded programs in the repo
+_FLEET_CACHE: dict = {}
+
+
 def fleet_rollout(
     mesh: Mesh,
     track, bike_params, lmpc_param, rg_param, sys_param,
@@ -197,31 +205,39 @@ def fleet_rollout(
     Returns the same tuple as racing/fused.rollout_racing_game_batch."""
     from ..racing import fused
 
-    shared = (
+    args = (
+        track, bike_params, lmpc_param, rg_param, sys_param,
+        xcurv0_batch, xglob0_batch,
         ss_prev, qfun_prev, ss_prev2, qfun_prev2,
         u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
         lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
     )
+    key = (
+        "racing", mesh, n_steps,
+        xcurv0_batch.shape, jnp.dtype(xcurv0_batch.dtype).name,
+        ss_prev.shape,
+    )
+    cached = _FLEET_CACHE.get(key)
+    if cached is not None:
+        return cached(*args)
+
+    lane = P(("scenario", "branch"))
+    # 5 param pytrees replicated, 2 lane-sharded starts, 14 replicated arrays
+    in_specs = (P(),) * 5 + (lane, lane) + (P(),) * 14
 
     @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(("scenario", "branch")), P(("scenario", "branch"))),
-        out_specs=(
-            P(("scenario", "branch")),
-            P(("scenario", "branch")),
-            P(("scenario", "branch")),
-            P(("scenario", "branch")),
-        ),
+        jax.shard_map, mesh=mesh,
+        in_specs=in_specs, out_specs=(lane, lane, lane, lane),
         check_vma=False,
     )
-    def run(xc_l, xg_l):
+    def run(tr, bp, lp, rp, sp, xc_l, xg_l, *sh):
         return fused.rollout_racing_game_batch(
-            track, bike_params, lmpc_param, rg_param, sys_param,
-            xc_l, xg_l, *shared, n_steps=n_steps,
+            tr, bp, lp, rp, sp, xc_l, xg_l, *sh, n_steps=n_steps,
         )
 
-    return jax.jit(run)(xcurv0_batch, xglob0_batch)
+    compiled = jax.jit(run)
+    _FLEET_CACHE[key] = compiled
+    return compiled(*args)
 
 
 def learning_fleet(
@@ -245,31 +261,38 @@ def learning_fleet(
     Returns the same tuple as racing/fused.rollout_lmpc_learning_batch."""
     from ..racing import fused
 
-    shared = (
+    args = (
+        track, bike_params, lmpc_param, sys_param,
+        xcurv0_batch, xglob0_batch,
         ss_prev, qfun_prev, u_prev_lap, t_prev,
         ss_prev2, qfun_prev2, u_prev2_lap, t_prev2,
         lin_points0, lin_input0,
     )
+    key = (
+        "learning", mesh, n_laps, n_steps,
+        xcurv0_batch.shape, jnp.dtype(xcurv0_batch.dtype).name,
+        ss_prev.shape,
+    )
+    cached = _FLEET_CACHE.get(key)
+    if cached is not None:
+        return cached(*args)
+
+    lane = P(("scenario", "branch"))
+    in_specs = (P(),) * 4 + (lane, lane) + (P(),) * 10
 
     @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(("scenario", "branch")), P(("scenario", "branch"))),
-        out_specs=(
-            P(("scenario", "branch")),
-            P(("scenario", "branch")),
-            P(("scenario", "branch")),
-            P(("scenario", "branch")),
-        ),
+        jax.shard_map, mesh=mesh,
+        in_specs=in_specs, out_specs=(lane, lane, lane, lane),
         check_vma=False,
     )
-    def run(xc_l, xg_l):
+    def run(tr, bp, lp, sp, xc_l, xg_l, *sh):
         return fused.rollout_lmpc_learning_batch(
-            track, bike_params, lmpc_param, sys_param,
-            xc_l, xg_l, *shared, n_laps=n_laps, n_steps=n_steps,
+            tr, bp, lp, sp, xc_l, xg_l, *sh, n_laps=n_laps, n_steps=n_steps,
         )
 
-    return jax.jit(run)(xcurv0_batch, xglob0_batch)
+    compiled = jax.jit(run)
+    _FLEET_CACHE[key] = compiled
+    return compiled(*args)
 
 
 def safe_set_exchange(mesh: Mesh, lap_traj: jax.Array):

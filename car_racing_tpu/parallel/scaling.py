@@ -206,7 +206,7 @@ def measure_sweep(n_devices: int | None = None, total_branches: int = 256,
 def analytic_projection(single_latency_ms: float, n_devices: int,
                         total_branches: int = 256, horizon: int = 10,
                         num_veh: int = 3,
-                        ici_gbps: float = 40.0, ici_latency_us: float = 5.0):
+                        ici_gb_per_s: float = 40.0, ici_latency_us: float = 5.0):
     """Comm-vs-compute bound on real-silicon scaling efficiency.
 
     Per sweep the only cross-device traffic is the selection reduction:
@@ -219,7 +219,9 @@ def analytic_projection(single_latency_ms: float, n_devices: int,
         eff    = t_comp / (t_comp + t_comm)
 
     ICI assumptions are stated in the result (conservative v5e-class
-    figures: ``ici_gbps`` usable unidirectional bandwidth per device,
+    figures: ``ici_gb_per_s`` usable unidirectional bandwidth per device in
+    GIGABYTES/s (v5e one-way ICI is ~45 GB/s per link; 40 is the usable
+    figure),
     ``ici_latency_us`` per collective)."""
     BR = num_veh + 1
     S = total_branches // BR
@@ -227,12 +229,12 @@ def analytic_projection(single_latency_ms: float, n_devices: int,
     gather_bytes = S * BR * f32  # per-branch costs
     psum_bytes = S * (horizon + 1) * X_DIM * f32  # winning trajectories
     total_bytes = gather_bytes + psum_bytes
-    t_comm_s = total_bytes / (ici_gbps * 1e9) + 2 * ici_latency_us * 1e-6
+    t_comm_s = total_bytes / (ici_gb_per_s * 1e9) + 2 * ici_latency_us * 1e-6
     t_comp_s = single_latency_ms * 1e-3 / n_devices
     eff = t_comp_s / (t_comp_s + t_comm_s)
     return {
         "assumptions": {
-            "ici_usable_gbps": ici_gbps,
+            "ici_usable_gbytes_per_s": ici_gb_per_s,
             "ici_latency_us_per_collective": ici_latency_us,
             "collectives_per_sweep": ["all_gather(costs)", "psum(X_best)"],
         },

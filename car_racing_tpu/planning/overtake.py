@@ -447,6 +447,9 @@ class OvertakeTrajPlanner:
             direction_flag = int(best[0])
             X_all = np.asarray(X_all[0][:n_br])  # fallback already applied
             batch_solve_s = perf_counter() - _t0
+            # the sharded sweep does not surface per-branch Newton counts;
+            # reset rather than leave a stale single-chip reading behind
+            self.last_branch_iterations = None
         else:
             X_all, qp_costs, conv, branch_iters = _solve_branch_batch(
                 jnp.asarray(xcurv_ego),
@@ -470,27 +473,36 @@ class OvertakeTrajPlanner:
             # times, overtake_traj_planner.py:375-378, have no analog here)
             self.last_branch_iterations = np.asarray(branch_iters)
 
-            # kinematic fallback for unconverged branches
-            # (overtake_traj_planner.py:365-374)
+            # kinematic fallback for unconverged branches — the SAME helper
+            # the mesh sweep applies (overtake_traj_planner.py:365-374)
             for br in range(n_br):
                 if not conv[br]:
-                    stmp = float(xcurv_ego[4]) + 1.1 * np.arange(N + 1) * 0.1 * float(xcurv_ego[0])
-                    X_all[br] = 0.0
-                    X_all[br, :, 0] = 1.1 * float(xcurv_ego[0])
-                    X_all[br, :, 4] = stmp
-                    sclip = np.clip(stmp, bez_np[br, 0, 0], bez_np[br, -1, 0])
-                    X_all[br, :, 5] = np.interp(sclip, bez_np[br, :, 0], bez_np[br, :, 1])
+                    X_all[br] = np.asarray(kinematic_fallback_traj(
+                        jnp.asarray(xcurv_ego), jnp.asarray(bez_np[br]), N
+                    ))
 
-            # branch selection (overtake_traj_planner.py:205-244)
-            cost_sel = -10.0 * (X_all[:, -1, 4] - X_all[:, 0, 4])
+            # branch selection via the shared cost (overtake_traj_planner.py:
+            # 205-244); left neighbor = br-1, right neighbor = br
+            old_dir = jnp.asarray(
+                old_direction_flag if old_direction_flag is not None else -1,
+                jnp.int32,
+            )
+            cost_sel = np.zeros(n_br)
             for br in range(n_br):
-                for side_i in ([br - 1] if br > 0 else []) + ([br] if br < num_veh else []):
-                    diffs = X_all[br, :, 4] - obs_s_wrapped[side_i]
-                    diffey = X_all[br, :, 5] - obs_trajs[side_i, :, 5]
-                    viol = diffs**2 + diffey**2 - veh_length**2 - veh_width**2 < 0
-                    cost_sel[br] += 100.0 * viol.sum()
-                if old_direction_flag is not None and old_direction_flag != br:
-                    cost_sel[br] += 100.0
+                li, ri = max(br - 1, 0), min(br, num_veh - 1)
+                cost_sel[br] = float(branch_selection_cost(
+                    jnp.asarray(X_all[br]),
+                    jnp.asarray(obs_s_wrapped[li]),
+                    jnp.asarray(obs_trajs[li, :, 5]),
+                    jnp.asarray(obs_s_wrapped[ri]),
+                    jnp.asarray(obs_trajs[ri, :, 5]),
+                    jnp.asarray(br >= 1),
+                    jnp.asarray(br < num_veh),
+                    veh_length,
+                    veh_width,
+                    old_dir,
+                    jnp.asarray(br, jnp.int32),
+                ))
             direction_flag = int(np.argmin(cost_sel))
         target_traj_xcurv = X_all[direction_flag]
 

@@ -203,20 +203,25 @@ class iLQRRacing(ControlBase):
         ego = vehicles[self.agent_name]
         agent_half = jnp.asarray([float(ego.param.length) / 2, float(ego.param.width) / 2])
         obs_half = agent_half  # reference hardcodes car1's dims == CarParam
+        solve_args = (
+            jnp.asarray(self.x),
+            jnp.asarray(self._xtarget()),
+            self.ilqr_param,
+            jnp.asarray(obs_traj.T),
+            agent_half,
+            obs_half,
+        )
         with GLOBAL_TIMER.measure("ilqr"):
-            u0, U, _ = controllers.ilqr(
-                jnp.asarray(self.x),
-                jnp.asarray(self._xtarget()),
-                self.ilqr_param,
-                jnp.asarray(obs_traj.T),
-                agent_half,
-                obs_half,
-                u_init=self._u_warm if self.warm_start else None,
-                return_seq=True,
-            )
+            if self.warm_start:
+                u0, U, _ = controllers.ilqr(
+                    *solve_args, u_init=self._u_warm, return_seq=True
+                )
+                # shift-warm-start the next solve (same shift as the fused
+                # rollout); cold path skips the sequence materialization
+                self._u_warm = jnp.concatenate([U[1:], U[-1:]], axis=0)
+            else:
+                u0 = controllers.ilqr(*solve_args)
             self.u = np.asarray(u0)
-        # shift-warm-start the next solve (same shift as the fused rollout)
-        self._u_warm = jnp.concatenate([U[1:], U[-1:]], axis=0)
         self._log_none_artifacts(GLOBAL_TIMER.samples["ilqr"][-1])
         self.time += self.timestep
 

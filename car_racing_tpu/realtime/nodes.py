@@ -444,8 +444,8 @@ class StagedControllerNode(ControllerNode):
         match the real stage exactly — its calc_input populates the jit
         caches (regression, safe-set selection, convex-hull QP), so the
         real policy built at the boundary compiles nothing."""
+        dt = 1.0 / self.rate_hz
         try:
-            dt = 1.0 / self.rate_hz
             mpc = policies.MPCTracking(params.MPCParam.default(vt=self._vt))
             mpc.set_timestep(dt)
             mpc.set_track(self._track)
@@ -458,7 +458,13 @@ class StagedControllerNode(ControllerNode):
             mpc._u_warm = None  # hand over exactly like a fresh policy
             mpc.time = 0.0
             self._prewarmed_mpc = mpc
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            self._prewarmed_mpc = None
 
+        # separate try: an LMPC prewarm failure must not discard the
+        # already-completed MPC prewarm (the stage-0 boundary would then
+        # pay the compile spike this thread exists to prevent)
+        try:
             lmpc = self._build_lmpc(dt)
             L = float(self._track.lap_length)
             n = 60
@@ -483,7 +489,7 @@ class StagedControllerNode(ControllerNode):
             lmpc.calc_input()
             lmpc.calc_input()
         except Exception:  # pragma: no cover - prewarm is best-effort
-            self._prewarmed_mpc = None
+            pass  # LMPC caches stay cold; the boundary falls back inline
 
     def _close_lap(self):
         self.laps_done += 1
