@@ -93,6 +93,17 @@ def main():
     parser.add_argument("--render-dir", type=str, default=None,
                         help="render live frames (PNG per tick) into this directory")
     run(vars(parser.parse_args()))
+    # Exit without interpreter-shutdown unwinding: the staged controller's
+    # prewarm daemon thread may still be inside an XLA compile (native
+    # code), and tearing the interpreter down through it aborts with
+    # "FATAL: exception not rethrown".  All nodes/broker are already
+    # stopped by run()'s finally; nothing is left to flush.
+    import os
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
