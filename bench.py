@@ -94,6 +94,7 @@ def main():
         print(json.dumps(row), flush=True)
         with open("BENCH_LOCAL.json", "w") as fh:  # incremental: survive cutoffs
             json.dump(results, fh, indent=1)
+            fh.write("\n")
 
     track = cast(track_ops.load_track("l_shape", width=0.8))
     track_wide = cast(track_ops.load_track("l_shape", width=1.0))
