@@ -239,6 +239,9 @@ def test_staged_switch_holds_tick_budget(broker):
                 )
     finally:
         node.stop()
+
+
+def test_cbf_controller_node_avoids_bus_obstacles(broker):
     """Realtime MPC-CBF mode (reference realtime/controller.py:31-36):
     obstacles discovered via vehicle_list feed constant-velocity forecasts
     into the CBF solve."""
