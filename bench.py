@@ -280,10 +280,22 @@ def main():
          sweep["branch_solves_per_s"] / SWEEP_SOLVES_TARGET)
     # analytic comm-vs-compute projection of 8-device efficiency from the
     # TPU-measured single-chip sweep (multi-chip silicon unavailable);
-    # target >= 0.8 (BASELINE.md)
-    proj = scaling.analytic_projection(sweep["sweep_latency_ms"], 8)
+    # target >= 0.8 (BASELINE.md).  THE authoritative silicon projection:
+    # the scaling artifact's projection is the same function fed the
+    # virtual-CPU latency and labeled as such (latency_source).
+    proj = scaling.analytic_projection(
+        sweep["sweep_latency_ms"], 8, n_hosts=4,
+        latency_source="real TPU chip (bench.py measure_sweep)",
+    )
     emit("scaling_efficiency_projected_8dev", proj["projected_efficiency"],
          "ratio", proj["projected_efficiency"] / 0.8)
+    # multi-host: selection collectives stay intra-host (ICI); per-lap
+    # safe-set exchange rides DCN, amortized over lap steps
+    # (parallel/multihost.py layout; executable 2-process path in
+    # tests/test_multihost.py)
+    emit("scaling_efficiency_projected_4host",
+         proj["multihost"]["projected_efficiency"], "ratio",
+         proj["multihost"]["projected_efficiency"] / 0.8)
 
     # ---- 5. solver Newton iterations/s (real per-problem counts through
     # the batched QP IPM, on the 256-corridor-QP batch) ----------------------

@@ -206,8 +206,17 @@ def measure_sweep(n_devices: int | None = None, total_branches: int = 256,
 def analytic_projection(single_latency_ms: float, n_devices: int,
                         total_branches: int = 256, horizon: int = 10,
                         num_veh: int = 3,
-                        ici_gb_per_s: float = 40.0, ici_latency_us: float = 5.0):
-    """Comm-vs-compute bound on real-silicon scaling efficiency.
+                        ici_gb_per_s: float = 40.0, ici_latency_us: float = 5.0,
+                        n_hosts: int = 1,
+                        dcn_gb_per_s: float = 3.125, dcn_latency_us: float = 50.0,
+                        lap_steps: int = 180,
+                        latency_source: str = "unspecified"):
+    """Comm-vs-compute bound on real-silicon scaling efficiency.  This is
+    THE one projection function — bench.py and the scaling artifact both
+    call it, so their numbers can only differ through the measured
+    ``single_latency_ms`` input, which ``latency_source`` records in the
+    output (round-3 weakness: two unlabeled projections, 0.999 vs 0.9856,
+    from the same model fed with CPU- vs TPU-measured latencies).
 
     Per sweep the only cross-device traffic is the selection reduction:
     an all_gather of the per-branch costs and a psum of the one-hot-masked
@@ -221,8 +230,17 @@ def analytic_projection(single_latency_ms: float, n_devices: int,
     ICI assumptions are stated in the result (conservative v5e-class
     figures: ``ici_gb_per_s`` usable unidirectional bandwidth per device in
     GIGABYTES/s (v5e one-way ICI is ~45 GB/s per link; 40 is the usable
-    figure),
-    ``ici_latency_us`` per collective)."""
+    figure), ``ici_latency_us`` per collective).
+
+    **Multi-host (DCN) term** (``n_hosts > 1``): with the spanning layout of
+    parallel/multihost.py — scenario axis across hosts, branch axis on each
+    host's chips — the per-sweep selection collectives never leave a host;
+    the only inter-host traffic is the per-LAP safe-set exchange
+    (mesh.safe_set_exchange: all-gather of each host's newest lap
+    trajectory + Qfun column over DCN), amortized over the ``lap_steps``
+    control steps of a lap.  DCN figures are conservative
+    multi-slice-class numbers: ``dcn_gb_per_s`` usable per-host egress
+    (25 Gbit/s = 3.125 GB/s), ``dcn_latency_us`` per collective."""
     BR = num_veh + 1
     S = total_branches // BR
     f32 = 4
@@ -231,18 +249,44 @@ def analytic_projection(single_latency_ms: float, n_devices: int,
     total_bytes = gather_bytes + psum_bytes
     t_comm_s = total_bytes / (ici_gb_per_s * 1e9) + 2 * ici_latency_us * 1e-6
     t_comp_s = single_latency_ms * 1e-3 / n_devices
-    eff = t_comp_s / (t_comp_s + t_comm_s)
-    return {
+    out = {
         "assumptions": {
             "ici_usable_gbytes_per_s": ici_gb_per_s,
             "ici_latency_us_per_collective": ici_latency_us,
             "collectives_per_sweep": ["all_gather(costs)", "psum(X_best)"],
         },
+        "single_chip_latency_ms": single_latency_ms,
+        "latency_source": latency_source,
         "bytes_over_ici_per_sweep": total_bytes,
         "t_comm_us": t_comm_s * 1e6,
         "t_comp_us_per_device": t_comp_s * 1e6,
-        "projected_efficiency": eff,
+        "projected_efficiency": t_comp_s / (t_comp_s + t_comm_s),
     }
+    if n_hosts > 1:
+        # per-lap safe-set exchange: each host all-gathers every other
+        # host's newest lap trajectory (lap_steps x X_DIM states + Qfun
+        # column + input trace), ring-style over DCN
+        lap_bytes = lap_steps * (2 * X_DIM + 1 + U_DIM) * f32
+        ag_bytes = lap_bytes * (n_hosts - 1)
+        t_dcn_lap_s = ag_bytes / (dcn_gb_per_s * 1e9) + dcn_latency_us * 1e-6
+        t_dcn_step_s = t_dcn_lap_s / lap_steps  # amortized per control step
+        eff_mh = t_comp_s / (t_comp_s + t_comm_s + t_dcn_step_s)
+        out["multihost"] = {
+            "n_hosts": n_hosts,
+            "assumptions": {
+                "dcn_usable_gbytes_per_s_per_host": dcn_gb_per_s,
+                "dcn_latency_us_per_collective": dcn_latency_us,
+                "lap_steps_amortizing_exchange": lap_steps,
+                "layout": "scenario axis across hosts (DCN), branch axis "
+                          "intra-host (ICI); selection collectives never "
+                          "cross a host (parallel/multihost.spanning_mesh)",
+            },
+            "safe_set_bytes_over_dcn_per_lap": ag_bytes,
+            "t_dcn_us_per_lap": t_dcn_lap_s * 1e6,
+            "t_dcn_us_amortized_per_step": t_dcn_step_s * 1e6,
+            "projected_efficiency": eff_mh,
+        }
+    return out
 
 
 def scaling_efficiency(total_branches: int = 256, horizon: int = 10,
@@ -267,7 +311,15 @@ def scaling_efficiency(total_branches: int = 256, horizon: int = 10,
         "multi_weak_scaling": rn_weak,
         "efficiency_strong": eff_strong,
         "efficiency_weak": eff_weak,
+        # same projection function as bench.py's
+        # scaling_efficiency_projected_8dev — the two outputs differ ONLY
+        # through the measured single-chip latency fed in, recorded in
+        # latency_source; the TPU-measured one (bench) is authoritative
         "analytic_projection": analytic_projection(
-            r1["sweep_latency_ms"], n, total_branches, horizon
+            r1["sweep_latency_ms"], n, total_branches, horizon,
+            n_hosts=4,
+            latency_source="virtual CPU device (this artifact's own "
+                           "measure_sweep run; bench.py's TPU-measured "
+                           "projection is the authoritative number)",
         ),
     }

@@ -1,0 +1,108 @@
+"""Multi-HOST (multi-process) distributed tests: the inter-process half of
+SURVEY §5.8, absent through round 3.
+
+tests/test_parallel.py proves the sharded programs on a single-process
+virtual mesh; here the SAME programs (mesh.corridor_sweep with its
+collective selection, mesh.safe_set_exchange, mesh.fleet_rollout) run over
+a mesh SPANNING OS PROCESSES: 2 worker processes x 2 virtual CPU devices,
+joined by jax.distributed with a localhost coordinator and gloo TCP
+collectives (the CPU stand-in for ICI/DCN).  Scenario axis spans the
+processes (DCN analog — the safe-set all-gather crosses it), branch axis
+stays within each process (ICI analog — the corridor argmin's collectives
+never leave a process).
+
+Reference analog: one OS process per overtake corridor joined via Manager
+dicts (/root/reference/car_racing/planning/overtake_traj_planner.py:177-197)
+and the ROS node graph
+(/root/reference/car_racing/racing/realtime/simulator.py:54-83).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from car_racing_tpu.parallel import multihost, scaling
+
+
+@pytest.fixture(scope="module")
+def mh_report(repo_root):
+    """Launch the 2-process harness once for the module (compile-heavy)."""
+    return multihost.launch(
+        num_processes=2, local_devices=2, port=9961, fleet=True,
+        repo_root=repo_root,
+    )
+
+
+def test_spanning_mesh_runs_real_programs(mh_report):
+    """Every worker must pass every check: corridor-sweep parity vs its own
+    process-local single-device run, bitwise safe-set replication across
+    the process boundary, and a finite racing-game fleet spanning all four
+    devices."""
+    assert mh_report["ok"]
+    assert mh_report["num_processes"] == 2
+    assert mh_report["global_devices"] == 4
+    assert mh_report["checks_passed"] == [
+        "corridor_sweep_parity", "fleet_rollout", "safe_set_exchange"
+    ]
+    assert len(mh_report["workers"]) == 2
+    for w in mh_report["workers"]:
+        assert w["global_devices"] == 4
+        assert w["local_devices_per_process"] == 2
+        for name, chk in w["checks"].items():
+            assert chk["ok"], (w["process_id"], name)
+
+
+def test_workers_agree_on_selection(mh_report):
+    """SPMD consistency: both processes must compute the identical winning
+    branches for the identical sweep problem (each already asserted parity
+    against its local single-device oracle; this pins cross-process
+    agreement explicitly)."""
+    w0, w1 = mh_report["workers"]
+    assert (
+        w0["checks"]["corridor_sweep_parity"]["winning_branches"]
+        == w1["checks"]["corridor_sweep_parity"]["winning_branches"]
+    )
+
+
+def test_multihost_artifact(mh_report, repo_root):
+    """Record MULTIHOST_r04.json: the executable multi-process evidence plus
+    the DCN-aware analytic projection (one projection function shared with
+    bench.py; its silicon number is fed the TPU-measured sweep latency —
+    here we record the model's multihost block with stated assumptions)."""
+    proj = scaling.analytic_projection(
+        # BENCH_r03 branch_sweep_256_latency: the TPU-measured single-chip
+        # sweep; re-measured by the driver's bench run each round
+        5.74, 8, n_hosts=4,
+        latency_source="BENCH_r03 branch_sweep_256_latency (real TPU chip)",
+    )
+    payload = {
+        "what": "2 OS processes x 2 virtual CPU devices joined by "
+                "jax.distributed (localhost coordinator, gloo TCP "
+                "collectives); mesh ('scenario','branch') spans processes; "
+                "runs the REAL corridor sweep + safe-set exchange + "
+                "racing-game fleet with parity asserts in every process",
+        "harness": mh_report,
+        "dcn_aware_projection": proj,
+    }
+    with open(os.path.join(repo_root, "MULTIHOST_r04.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    assert proj["multihost"]["projected_efficiency"] >= 0.8
+
+
+def test_dcn_term_costs_efficiency():
+    """The DCN term must be active (multihost efficiency strictly below the
+    single-host projection) yet amortized enough over a lap to clear the
+    >= 0.8 BASELINE target with conservative 25 Gbit/s DCN assumptions."""
+    proj = scaling.analytic_projection(5.0, 8, n_hosts=4, latency_source="test")
+    single = proj["projected_efficiency"]
+    multi = proj["multihost"]["projected_efficiency"]
+    assert multi < single
+    assert multi >= 0.8
+    # more hosts -> more safe-set traffic -> monotonically lower efficiency
+    proj16 = scaling.analytic_projection(5.0, 8, n_hosts=16, latency_source="test")
+    assert proj16["multihost"]["projected_efficiency"] < multi
+    # the projection records where its latency came from (round-3 weak #4)
+    assert proj["latency_source"] == "test"

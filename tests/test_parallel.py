@@ -248,7 +248,7 @@ def test_safe_set_exchange(mesh):
 
 def test_scaling_artifact(mesh, repo_root):
     """Run the corridor-sweep scaling measurement on the virtual 8-device
-    CPU mesh and record the artifact (SCALING_r03.json).
+    CPU mesh and record the artifact (SCALING_r04.json).
 
     Real multi-chip TPU hardware is unavailable in this environment (one
     chip behind a tunnel), so the BASELINE >= 0.8 multi-host efficiency
@@ -272,7 +272,13 @@ def test_scaling_artifact(mesh, repo_root):
     # the analytic silicon projection must clear the BASELINE target with
     # conservative ICI assumptions
     assert report["analytic_projection"]["projected_efficiency"] >= 0.8
-    with open(os.path.join(repo_root, "SCALING_r03.json"), "w") as fh:
+    # one projection function shared with bench.py, self-labeling which
+    # measured latency fed it (round-3 weak #4: two unreconciled numbers)
+    assert "virtual CPU" in report["analytic_projection"]["latency_source"]
+    # and the DCN-aware multi-host block is present with its assumptions
+    mh = report["analytic_projection"]["multihost"]
+    assert mh["n_hosts"] == 4 and mh["projected_efficiency"] >= 0.8
+    with open(os.path.join(repo_root, "SCALING_r04.json"), "w") as fh:
         json.dump(
             {
                 "sweep": "racing-game corridor branch QP "
