@@ -43,11 +43,14 @@ def test_fused_rollout_matches_host_loop():
     sim.sim(sim_time=n_steps * 0.1)
     host_traj = np.asarray(ego.xcurv_log)
 
-    # trajectories agree (same solver, same dynamics; small drift tolerated
-    # from warm-start path differences)
+    # identical program on both paths (same solver, same warm-start shift,
+    # same substepped dynamics): machine-precision agreement, like the
+    # fused LMPC lap.  Measured drift over 60 steps is <1e-14 in every
+    # state; 1e-9 leaves slack for BLAS variation while still catching any
+    # real semantic divergence (round-3 weak #2: the old 2e-2 could hide
+    # 10% of the track half-width)
     m = min(len(host_traj), n_steps)
-    np.testing.assert_allclose(xcurvs[1 : m + 1, 0], host_traj[:m, 0], atol=2e-2)
-    np.testing.assert_allclose(xcurvs[1 : m + 1, 5], host_traj[:m, 5], atol=2e-2)
+    np.testing.assert_allclose(xcurvs[1 : m + 1], host_traj[:m], atol=1e-9)
 
 
 def test_fused_mpccbf_rollout_avoids_obstacles():
@@ -146,10 +149,13 @@ def test_fused_ilqr_matches_host_loop():
     sim.sim(sim_time=n_steps * 0.1)
     host_traj = np.asarray(ego.xcurv_log)
 
+    # identical program on both paths (the host policy drives the same
+    # scan-fused Levenberg solver the rollout embeds): measured drift over
+    # 100 steps is <5e-14 across every state; 1e-9 leaves slack for BLAS
+    # variation while catching real semantic divergence (round-3 weak #2:
+    # the old 2e-2 could hide 10% of the track half-width)
     m = min(len(host_traj), n_steps)
-    np.testing.assert_allclose(xc[1 : m + 1, 0], host_traj[:m, 0], atol=2e-2)
-    np.testing.assert_allclose(xc[1 : m + 1, 4], host_traj[:m, 4], atol=5e-2)
-    np.testing.assert_allclose(xc[1 : m + 1, 5], host_traj[:m, 5], atol=2e-2)
+    np.testing.assert_allclose(xc[1 : m + 1], host_traj[:m], atol=1e-9)
 
 
 def test_fused_ilqr_warm_start_passes_blocking_car():
@@ -217,9 +223,8 @@ def test_fused_ilqr_warm_start_passes_blocking_car():
     sim.sim(sim_time=n_steps * 0.1)
     host_traj = np.asarray(ego.xcurv_log)
     m = min(len(host_traj), n_steps)
-    np.testing.assert_allclose(xc[1 : m + 1, 0], host_traj[:m, 0], atol=2e-2)
-    np.testing.assert_allclose(xc[1 : m + 1, 4], host_traj[:m, 4], atol=5e-2)
-    np.testing.assert_allclose(xc[1 : m + 1, 5], host_traj[:m, 5], atol=2e-2)
+    # same machine-precision regime as the cold-start iLQR parity test
+    np.testing.assert_allclose(xc[1 : m + 1], host_traj[:m], atol=1e-9)
 
 
 def test_fused_lmpc_lap_matches_host_loop():
