@@ -85,7 +85,10 @@ def corridor_sweep(
     'scenario', corridors over 'branch'.
 
     Returns (best (S,) int32 global branch index, X_best (S, N+1, X_DIM),
-    costs (S, BR), converged (S, BR), X_all (S, BR, N+1, X_DIM)).
+    costs (S, BR), converged (S, BR), X_all (S, BR, N+1, X_DIM),
+    iters (S, BR) int32 — REAL per-branch Newton counts from the sharded
+    IPM, so mesh dispatch keeps the same per-branch effort observability
+    as the single-chip path (round-3 weak #5)).
 
     The compiled sharded program is cached per (mesh, horizon, dtype) so
     repeated sweeps (every overtake control step) pay zero retrace.
@@ -122,6 +125,7 @@ def corridor_sweep(
             P("scenario", "branch"),  # costs
             P("scenario", "branch"),  # converged
             P("scenario", "branch"),  # X_all
+            P("scenario", "branch"),  # iters
         ),
         check_vma=False,  # the QP solver's scan carry mixes varying/invariant
     )
@@ -165,7 +169,7 @@ def corridor_sweep(
                 jnp.zeros_like(X[0]),
             )
             X_best = jax.lax.psum(X_best, "branch")
-            return best, X_best, costs, sol.converged, X
+            return best, X_best, costs, sol.converged, X, sol.iterations
 
         return jax.vmap(per_scenario)(
             x0_l, bez_l, ley_l, lg_l, rey_l, rg_l, ls_l, rs_l, lv_l, rv_l,
@@ -318,11 +322,14 @@ def dryrun(n_devices: int) -> None:
     N = 6  # small horizon for the dry run
     inputs = scaling.corridor_sweep_inputs(S, N, seed=0, dtype=jnp.float32)
 
-    best, X_best, costs, conv, X_all = corridor_sweep(mesh, *inputs, num_horizon=N)
+    best, X_best, costs, conv, X_all, iters = corridor_sweep(
+        mesh, *inputs, num_horizon=N
+    )
     jax.block_until_ready((best, X_best))
     assert best.shape == (S,)
     assert X_best.shape == (S, N + 1, X_DIM)
     assert costs.shape == (S, BR) and X_all.shape == (S, BR, N + 1, X_DIM)
+    assert iters.shape == (S, BR)
     assert bool(jnp.all((best >= 0) & (best < BR)))
 
     lap = jnp.asarray(

