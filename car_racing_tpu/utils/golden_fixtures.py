@@ -142,6 +142,29 @@ def _scenarios():
     )
     assert 0 < int(lap_steps) < 350, "goggle LMPC lap must complete"
     out["lmpc_lap_goggle"] = np.asarray(xc)[: int(lap_steps) + 1]
+
+    # ---- m_shape track: MPC-LTI + LMPC lap (the 4th stock layout,
+    # previously exercised only by the KKT/closed-loop gates of
+    # tests/test_four_tracks.py, never pinned — round-3 missing #3;
+    # reference ships it first-class, data/track_layout/m_shape.csv) ------
+    track_m = track_ops.load_track("m_shape", width=1.0)
+    xc, _ = fused.rollout_mpc_tracking(
+        track_m, bike, mpc_param, sysp, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
+        n_steps=150,
+    )
+    out["mpc_lti_m_shape"] = np.asarray(xc)
+
+    seed_m = np.load("data/bench/lmpc_seed_m_shape.npz")
+    jm = lambda k: jnp.asarray(seed_m[k])
+    xc, us, dones, lap_steps = fused.rollout_lmpc_lap(
+        track_m, bike, lmpc_param, sysp, jm("xcurv0"), jm("xglob0"),
+        jm("ss1"), jm("q1"), jm("ss2"), jm("q2"), jm("u1"), jm("u2"),
+        jnp.asarray(seed_m["valid1"]), jnp.asarray(seed_m["valid2"]),
+        jnp.asarray(seed_m["counter"], jnp.int32),
+        jm("lin_points0"), jm("lin_input0"), n_steps=700,
+    )
+    assert 0 < int(lap_steps) < 700, "m_shape LMPC lap must complete"
+    out["lmpc_lap_m_shape"] = np.asarray(xc)[: int(lap_steps) + 1]
     return out
 
 

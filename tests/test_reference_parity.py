@@ -36,6 +36,8 @@ CASES = [
     ("racing_game_l_shape", 1e-2),
     ("mpc_lti_goggle", 1e-4),
     ("lmpc_lap_goggle", 1e-2),
+    ("mpc_lti_m_shape", 1e-4),
+    ("lmpc_lap_m_shape", 1e-2),
 ]
 
 
