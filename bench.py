@@ -376,6 +376,7 @@ def main():
             jnp.asarray(seed["counter"], jnp.int32),
             j("lin_points0"), j("lin_input0"),
             s_coef_rg, ey_coef_rg, opti, n_steps=fleet_steps,
+            dynamics_unroll=10,
         )
 
     t = _timed(run_fleet, reps=5, block=block)
@@ -393,6 +394,7 @@ def main():
             j("ss1"), j("q1"), j("u1"), jnp.asarray(seed["counter"], jnp.int32),
             j("ss2"), j("q2"), j("u2"), jnp.asarray(seed["pid_lap_steps"], jnp.int32),
             j("lin_points0"), j("lin_input0"), n_laps=1, n_steps=fleet_steps,
+            dynamics_unroll=10,
         )
 
     t = _timed(run_learn_fleet, reps=5, block=block)

@@ -185,8 +185,26 @@ def corridor_sweep(
 # every array input is a real argument of the jitted function (nothing is
 # closed over, so nothing is baked in as a constant), which makes the cache
 # safe across changing safe sets / traffic and kills the per-call re-trace
-# of the heaviest sharded programs in the repo
-_FLEET_CACHE: dict = {}
+# of the heaviest sharded programs in the repo.  Bounded LRU: each entry
+# pins a compiled sharded program AND its Mesh, so an unbounded dict would
+# grow without limit in a long-lived process sweeping shapes/meshes
+from collections import OrderedDict
+
+_FLEET_CACHE: OrderedDict = OrderedDict()
+_FLEET_CACHE_MAX = 8
+
+
+def _fleet_cache_get(key):
+    fn = _FLEET_CACHE.get(key)
+    if fn is not None:
+        _FLEET_CACHE.move_to_end(key)
+    return fn
+
+
+def _fleet_cache_put(key, fn):
+    _FLEET_CACHE[key] = fn
+    while len(_FLEET_CACHE) > _FLEET_CACHE_MAX:
+        _FLEET_CACHE.popitem(last=False)
 
 
 def fleet_rollout(
@@ -221,7 +239,7 @@ def fleet_rollout(
         xcurv0_batch.shape, jnp.dtype(xcurv0_batch.dtype).name,
         ss_prev.shape,
     )
-    cached = _FLEET_CACHE.get(key)
+    cached = _fleet_cache_get(key)
     if cached is not None:
         return cached(*args)
 
@@ -235,12 +253,15 @@ def fleet_rollout(
         check_vma=False,
     )
     def run(tr, bp, lp, rp, sp, xc_l, xg_l, *sh):
+        # throughput path: opt into the unrolled substep scan explicitly
+        # (the batch entry point defaults to 1 for bitwise consistency)
         return fused.rollout_racing_game_batch(
             tr, bp, lp, rp, sp, xc_l, xg_l, *sh, n_steps=n_steps,
+            dynamics_unroll=10,
         )
 
     compiled = jax.jit(run)
-    _FLEET_CACHE[key] = compiled
+    _fleet_cache_put(key, compiled)
     return compiled(*args)
 
 
@@ -277,7 +298,17 @@ def learning_fleet(
         xcurv0_batch.shape, jnp.dtype(xcurv0_batch.dtype).name,
         ss_prev.shape,
     )
-    cached = _FLEET_CACHE.get(key)
+    # capacity gate (racing/fused.rollout_lmpc_learning docstring): the
+    # in-scan promotion clips row indices to P-1; an undersized column
+    # would silently corrupt the learned safe set
+    P_rows = int(ss_prev.shape[0])
+    t1, t2 = int(t_prev), int(t_prev2)
+    assert P_rows >= t1 + max(t1, t2) + 2, (
+        f"safe-set columns have P={P_rows} rows; need >= t_prev + "
+        f"lap_steps + 1 (seed laps {t1}/{t2} steps)"
+    )
+
+    cached = _fleet_cache_get(key)
     if cached is not None:
         return cached(*args)
 
@@ -292,10 +323,11 @@ def learning_fleet(
     def run(tr, bp, lp, sp, xc_l, xg_l, *sh):
         return fused.rollout_lmpc_learning_batch(
             tr, bp, lp, sp, xc_l, xg_l, *sh, n_laps=n_laps, n_steps=n_steps,
+            dynamics_unroll=10,
         )
 
     compiled = jax.jit(run)
-    _FLEET_CACHE[key] = compiled
+    _fleet_cache_put(key, compiled)
     return compiled(*args)
 
 

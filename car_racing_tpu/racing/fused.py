@@ -453,6 +453,15 @@ def rollout_lmpc_learning(
     and QP warm start roll across lap boundaries untouched (the host
     policy's persist the same way).  Freezes after ``n_laps`` crossings.
 
+    **Capacity requirement**: the add_point appendix and the promotion's
+    crossing row index clip to ``P - 1``, so a column must satisfy
+    ``P >= t_prev + lap_steps + 1`` for every lap it absorbs; an
+    undersized ``P`` silently overwrites the last row and corrupts the
+    learned safe set.  ``run_learning_protocol`` auto-sizes and asserts
+    this (racing/protocol.py); callers supplying their own seed columns
+    (rollout_lmpc_learning_batch, parallel/mesh.learning_fleet) must size
+    ``P`` accordingly — learning_fleet asserts it host-side.
+
     Returns (xcurv_traj (n_steps+1, X) with s wrapped per lap, u_traj
     (n_steps, U), lap_steps (n_laps,) int32 per-lap step counts — the
     learning curve, lap_steps*control_dt = the reference's lap-time report
@@ -870,7 +879,7 @@ def rollout_racing_game_batch(
     u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
     lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
     n_steps: int = 300, control_dt: float = 0.1, sub_dt: float = 0.001,
-    tracker_iters: int = 20, dynamics_unroll: int = 10,
+    tracker_iters: int = 20, dynamics_unroll: int = 1,
 ):
     """vmap of :func:`rollout_racing_game` over a batch of initial states —
     a fleet of simultaneous racing games on one chip (scenario DP on the
@@ -879,10 +888,13 @@ def rollout_racing_game_batch(
     vmap the LMPC/overtake ``lax.cond`` lowers to a select (both branches
     execute for every lane), the price of divergent per-lane dispatch.
 
-    ``dynamics_unroll`` defaults to 10 here (unlike the single-lane
-    rollout): the fleet is a throughput path with no bitwise host twin,
-    and unrolling the substep scan halves its sequential-dynamics floor
-    (see ops/dynamics.propagate)."""
+    ``dynamics_unroll`` defaults to 1 like the single-lane rollout it
+    vmaps, keeping the public batch entry point bitwise-consistent with
+    it (unroll changes XLA fusion and drifts closed loops — golden-
+    breaking elsewhere in the repo).  Throughput call sites (bench.py,
+    parallel/mesh.fleet_rollout) opt into ``dynamics_unroll=10``
+    explicitly, which halves the substep scan's sequential-dynamics
+    floor (see ops/dynamics.propagate)."""
     fn = lambda xc, xg: rollout_racing_game(
         track, bike_params, lmpc_param, rg_param, sys_param, xc, xg,
         ss_prev, qfun_prev, ss_prev2, qfun_prev2,
@@ -907,14 +919,14 @@ def rollout_lmpc_learning_batch(
     lin_points0, lin_input0,
     n_laps: int = 3, n_steps: int = 600,
     control_dt: float = 0.1, sub_dt: float = 0.001,
-    dynamics_unroll: int = 10,
+    dynamics_unroll: int = 1,
 ):
     """vmap of :func:`rollout_lmpc_learning` over a batch of initial
     states: B independent multi-lap learning curves from shared seed
     columns (scenario DP over the learning protocol itself; shard across
     a mesh with parallel/mesh.learning_fleet).  Like the racing-game
-    fleet, this is a throughput path with no bitwise host twin, so the
-    dynamics substep scan unrolls by default."""
+    fleet, defaults to ``dynamics_unroll=1`` for bitwise consistency with
+    the per-lane rollout; throughput call sites opt into 10."""
     fn = lambda xc, xg: rollout_lmpc_learning(
         track, bike_params, lmpc_param, sys_param, xc, xg,
         ss_prev, qfun_prev, u_prev_lap, t_prev,

@@ -123,7 +123,10 @@ def run_learning_protocol(
     N = lmpc_param.num_horizon
     xtarget = jnp.asarray([seed_vt, 0, 0, 0, 0, 0.0])
     # 1.8x the steady-state lap at seed_vt covers the standing-start ramp
-    n_steps_seed = n_steps_seed or int(L / seed_vt / 0.1 * 1.8)
+    # (is-None checks: an explicit 0 must error downstream, not silently
+    # fall back to the auto-sized default)
+    if n_steps_seed is None:
+        n_steps_seed = int(L / seed_vt / 0.1 * 1.8)
 
     # stage 1: PID seed lap (reference lap 0)
     xc, us = rollout_pid(
@@ -142,10 +145,20 @@ def run_learning_protocol(
 
     # column rows: lap iter-1's column must also hold the next lap's
     # add_point appendix (rows t1+1 .. t1+T_next, T_next <= t1)
-    P = P or 2 * max(t0, t1) + N + 3
+    if P is None:
+        P = 2 * max(t0, t1) + N + 3
+    # the promotion indices inside rollout_lmpc_learning clip to P-1; an
+    # undersized P would silently overwrite the last row and corrupt the
+    # learned safe set, so enforce the capacity requirement here
+    assert P >= t1 + max(t0, t1) + 2, (
+        f"safe-set column capacity P={P} cannot hold the appendix of a lap "
+        f"up to {max(t0, t1)} steps after the {t1}-step seed lap "
+        "(need P >= t_prev + lap_steps + 1)"
+    )
     ss0, u0, q0 = lap_column_from_traj(lap_xc0, lap_u0, P)
     ss1, u1, q1 = lap_column_from_traj(lap_xc1, lap_u1, P)
-    n_steps_learn = n_steps_learn or (n_laps * t1 + 10)
+    if n_steps_learn is None:
+        n_steps_learn = n_laps * t1 + 10
 
     # stage 3: the fused multi-lap learning rollout (laps 2..)
     # lin seed = host add_trajectory's iter==0 branch (policies.py:428-431)
