@@ -401,6 +401,13 @@ def main():
     thr = lane_steps / float(np.percentile(t, 50))
     emit("learning_fleet_lane_steps_per_s", thr, "1/s", thr / fleet_target)
 
+    # regenerate the README benchmark table from the artifact just written
+    # (single source of truth; round-3 weak #3 was a hand-maintained table
+    # drifting from the artifacts within one round)
+    from car_racing_tpu.utils import bench_table
+
+    bench_table.update_readme()
+
 
 if __name__ == "__main__":
     main()

@@ -323,3 +323,146 @@ def scaling_efficiency(total_branches: int = 256, horizon: int = 10,
                            "projection is the authoritative number)",
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Roofline: percent-of-peak for the dominant kernels (BASELINE north star
+# "the KKT factorization at speed-of-light per chip" — this block either
+# substantiates that or quantifies the headroom honestly).
+# ---------------------------------------------------------------------------
+
+# v5e per-chip figures (public: jax-ml.github.io/scaling-book, Google TPU
+# v5e datasheet): HBM bandwidth and MXU bf16 peak are published; the VPU
+# f32 figure is an estimate from the architecture (4 ALUs x (8,128) lanes
+# x 2 flops FMA x ~0.94 GHz) and is labeled as such.
+V5E_HBM_BYTES_PER_S = 8.19e11
+V5E_MXU_BF16_FLOPS = 1.97e14
+V5E_VPU_F32_FLOPS_EST = 7.7e12
+
+
+def roofline(pallas_chol_us: float = 15.0, lmpc_step_ms: float | None = None,
+             sweep_ms: float | None = None, B: int = 256, n: int = 20):
+    """Bytes/FLOPs vs v5e peak for the two dominant compute paths.
+
+    **(a) Pallas lane-major Cholesky solve, (B, n, n) SPD batch** —
+    analytic counts (exact for the unrolled factorization + two
+    triangular substitutions):
+
+        bytes  = B*(n*n + 2n)*4     (read A, read b, write x; f32)
+        flops  = B*(n^3/3 + 2 n^2)
+
+    The measured ``pallas_chol_us`` (ops/pallas_kernels.py dispatch-policy
+    measurement, 200-rep scan-amortized on the real chip) is compared to
+    the HBM floor and the VPU floor.  The kernel is NOT at the bandwidth
+    roofline — it is bounded by the *sequential stage recursion* inherent
+    to a factorization at n=20 (~n^2/2 + n^2 dependent (8,128)-vector ops
+    with ~tens-of-ns issue+VMEM latency each), which no layout can remove;
+    the roofline block quantifies exactly that headroom instead of
+    claiming a bandwidth bound.  Context: at ~15 us the factorization is
+    <0.3% of the 256-branch sweep, down from ~95% at the XLA default —
+    further factorization speedup is immaterial to the sweep.
+
+    **(b) fused LMPC learning-lap step** — FLOPs/bytes from XLA's own
+    cost model (``compiled.cost_analysis()`` of the jitted rollout,
+    divided by step count; HLO-level counts, lowering-independent to
+    first order) against the measured per-step latency.  The achieved
+    FLOP/s lands far below MXU peak because a 6-state OCP step is
+    latency-bound (sequential Newton iterations on tiny operands), not
+    FLOP-bound: "speed-of-light" for this workload is the dependency
+    chain, and the per-step latencies (BASELINE target <10 ms, measured
+    ~3.5 ms incl. 100 dynamics substeps) are the meaningful metric.
+    """
+    f32 = 4
+    chol_bytes = B * (n * n + 2 * n) * f32
+    chol_flops = B * (n ** 3 / 3 + 2 * n ** 2)
+    t = pallas_chol_us * 1e-6
+    hbm_floor_us = chol_bytes / V5E_HBM_BYTES_PER_S * 1e6
+    vpu_floor_us = chol_flops / V5E_VPU_F32_FLOPS_EST * 1e6
+    out = {
+        "v5e_assumptions": {
+            "hbm_bytes_per_s": V5E_HBM_BYTES_PER_S,
+            "mxu_bf16_flops": V5E_MXU_BF16_FLOPS,
+            "vpu_f32_flops_estimated": V5E_VPU_F32_FLOPS_EST,
+        },
+        "pallas_cholesky_solve": {
+            "shape": f"({B}, {n}, {n}) SPD batch, lane-major",
+            "measured_us": pallas_chol_us,
+            "bytes": chol_bytes,
+            "flops": chol_flops,
+            "hbm_floor_us": hbm_floor_us,
+            "vpu_floor_us": vpu_floor_us,
+            "pct_of_hbm_roofline": 100.0 * hbm_floor_us / pallas_chol_us,
+            "bound": "sequential stage recursion (~{} dependent vector ops"
+                     " at ~{:.0f} ns each), not bandwidth; vs XLA batched"
+                     " Cholesky: ~40x faster; share of the 256-branch"
+                     " sweep: {}".format(
+                         int(n * n / 2 + n * n),
+                         t / (n * n / 2 + n * n) * 1e9,
+                         "%.2f%%" % (100 * t / (sweep_ms * 1e-3))
+                         if sweep_ms else "n/a",
+                     ),
+        },
+    }
+    if lmpc_step_ms is not None:
+        ca = _lmpc_step_cost_analysis()
+        if ca is not None:
+            flops_step, bytes_step = ca
+            t_step = lmpc_step_ms * 1e-3
+            out["fused_lmpc_step"] = {
+                "measured_ms": lmpc_step_ms,
+                "flops_per_step_xla_cost_model": flops_step,
+                "bytes_per_step_xla_cost_model": bytes_step,
+                "achieved_gflops": flops_step / t_step / 1e9,
+                "pct_of_mxu_bf16_peak": 100.0 * flops_step / t_step
+                                        / V5E_MXU_BF16_FLOPS,
+                "bound": "latency (sequential Newton iterations on 6-state"
+                         " operands + 100 sequential dynamics substeps);"
+                         " per-step latency vs the 10 ms BASELINE budget"
+                         " is the meaningful metric",
+            }
+    return out
+
+
+def _lmpc_step_cost_analysis(n_steps: int = 20):
+    """(flops, bytes) per LMPC learning-lap step from XLA's cost model of
+    the jitted fused rollout (racing/fused.rollout_lmpc_lap).  Returns
+    None if the fixture or cost model is unavailable."""
+    import os
+
+    import jax
+
+    from ..ops import dynamics, track as track_ops
+    from ..racing import fused
+    from ..utils import params as params_mod
+
+    try:
+        seed = np.load("data/bench/lmpc_seed_l_shape.npz")
+        spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    except OSError:
+        return None
+    # the ambient precision (f32 on TPU/bench, f64 under the x64 test
+    # config — the solver's weak-type promotions follow the config, so a
+    # forced-f32 lowering fails under x64); FLOP counts are dtype-free,
+    # byte counts scale with itemsize and are labeled by the caller
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    cast = lambda tr: jax.tree.map(lambda a: jnp.asarray(a, dtype), tr)
+    track = cast(track_ops.build_track(spec, width=1.0))
+    j = lambda k: jnp.asarray(seed[k], dtype)
+    args = (
+        track, cast(dynamics.BicycleParams.default()),
+        cast(params_mod.LMPCParam.default()), cast(params_mod.SystemParam.default()),
+        j("xcurv0"), j("xglob0"),
+        j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+        jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+        jnp.asarray(seed["counter"], jnp.int32),
+        j("lin_points0"), j("lin_input0"),
+    )
+    try:
+        compiled = fused.rollout_lmpc_lap.lower(*args, n_steps=n_steps).compile()
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None
+    if not ca or "flops" not in ca:
+        return None
+    total_bytes = sum(v for k, v in ca.items() if k.startswith("bytes accessed"))
+    return float(ca["flops"]) / n_steps, float(total_bytes) / n_steps

@@ -67,3 +67,16 @@ def test_solve_timer_percentiles():
     assert s["solve"]["max_ms"] == 100.0
     assert "ctx" in s
     assert "solve" in t.report()
+
+
+def test_readme_bench_table_in_sync(repo_root):
+    """The README benchmark table is generated from BENCH_LOCAL.json
+    (round-3 weak #3: a hand-maintained table drifted within one round);
+    at commit time the committed README must match the committed artifact
+    — update_readme() must be a no-op."""
+    from car_racing_tpu.utils import bench_table
+
+    assert not bench_table.update_readme(repo_root), (
+        "README bench table is stale — run "
+        "`python -m car_racing_tpu.utils.bench_table` and commit"
+    )

@@ -278,6 +278,27 @@ def test_scaling_artifact(mesh, repo_root):
     # and the DCN-aware multi-host block is present with its assumptions
     mh = report["analytic_projection"]["multihost"]
     assert mh["n_hosts"] == 4 and mh["projected_efficiency"] >= 0.8
+
+    # roofline block (BASELINE north star "KKT factorization at
+    # speed-of-light per chip"): percent-of-peak for the Pallas Cholesky
+    # (TPU-measured 15 us, ops/pallas_kernels.py dispatch policy) and the
+    # fused LMPC step (TPU latency from the committed bench artifact)
+    bench_path = os.path.join(repo_root, "BENCH_LOCAL.json")
+    lmpc_ms = sweep_ms = None
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            for row in json.load(fh):
+                if row["metric"] == "lmpc_step_latency_p50_fused":
+                    lmpc_ms = row["value"]
+                if row["metric"] == "branch_sweep_256_latency":
+                    sweep_ms = row["value"]
+    rl = scaling.roofline(
+        pallas_chol_us=15.0, lmpc_step_ms=lmpc_ms, sweep_ms=sweep_ms
+    )
+    assert rl["pallas_cholesky_solve"]["pct_of_hbm_roofline"] > 0
+    assert "bound" in rl["pallas_cholesky_solve"]
+    report["roofline"] = rl
+
     with open(os.path.join(repo_root, "SCALING_r04.json"), "w") as fh:
         json.dump(
             {
