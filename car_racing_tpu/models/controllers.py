@@ -101,13 +101,17 @@ def mpc_lti(
     ``kkt`` selects the Newton-step factorization: "dense" condenses onto U
     and factorizes the (N*U_DIM)^2 system; "riccati" solves the same QP via
     the stage-structured block-tridiagonal path (ipm.solve_ocp_qp) — O(N)
-    time/memory per IPM iteration.  Both return the same solution (parity
-    test: tests/test_ipm.py); see README for the measured crossover.
+    time/memory per IPM iteration; "riccati_parallel" is the same path
+    with the associative-scan (O(log N) depth) backward pass and rollout
+    (riccati.tvlqr_backward_parallel — SURVEY §5.7's horizon-parallel
+    factorization).  All return the same solution (parity tests:
+    tests/test_ipm.py); see README/CROSSOVER.json for the measured
+    crossovers.
 
     Returns u_0 (and optionally (U, X) open-loop trajectories).
     """
     N = param.num_horizon
-    if kkt == "riccati":
+    if kkt in ("riccati", "riccati_parallel"):
         u_min = jnp.stack([-sys_param.delta_max, -sys_param.a_max])
         u_max = jnp.stack([sys_param.delta_max, sys_param.a_max])
         U0 = (
@@ -120,6 +124,7 @@ def mpc_lti(
             u_min, u_max, sys_param.v_min, sys_param.v_max,
             jnp.asarray(track_width, xcurv.dtype), U0,
             num_horizon=N, iters=30,
+            stage_parallel=(kkt == "riccati_parallel"),
         )
         if return_traj:
             return U[0], U, X

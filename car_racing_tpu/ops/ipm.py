@@ -568,7 +568,7 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("num_horizon", "iters"))
+@partial(jax.jit, static_argnames=("num_horizon", "iters", "stage_parallel"))
 @_highp
 def solve_ocp_qp(
     A: jax.Array,  # (n, n) LTI dynamics
@@ -586,6 +586,7 @@ def solve_ocp_qp(
     num_horizon: int = 10,
     iters: int = 30,
     tol: float | None = None,
+    stage_parallel: bool = False,
 ) -> tuple[jax.Array, jax.Array, IPMSolution]:
     """Tracking-OCP QP via the stage-structured KKT path.
 
@@ -597,6 +598,12 @@ def solve_ocp_qp(
     factorizing the densely condensed system.  The dynamics stay exactly
     feasible throughout: (X, U) starts on a rollout and the LTI Newton
     directions preserve the equalities for any step length.
+
+    ``stage_parallel=True`` swaps both halves of the Newton step for the
+    associative-scan forms (riccati.tvlqr_backward_parallel /
+    tvlqr_rollout_parallel): sequential depth O(log N) instead of O(N)
+    per IPM iteration — SURVEY §5.7's horizon-PARALLEL factorization.
+    Same solution to solver precision (parity: tests/test_ipm.py).
 
     Returns (U (N, m), X (N+1, n), IPMSolution with z = U.ravel()).
     """
@@ -708,10 +715,18 @@ def solve_ocp_qp(
         # x_1..x_{N-1} are interior stages, x_N is the terminal value
         l_x = jnp.concatenate([jnp.zeros((1, n), dtype), lx_stage[: N - 1]], axis=0)
         l_xx = jnp.concatenate([jnp.zeros((1, n, n), dtype), lxx_stage[: N - 1]], axis=0)
-        ks, Ks = riccati.tvlqr_backward(
+        backward = (
+            riccati.tvlqr_backward_parallel if stage_parallel
+            else riccati.tvlqr_backward
+        )
+        rollout_fn = (
+            riccati.tvlqr_rollout_parallel if stage_parallel
+            else riccati.tvlqr_rollout
+        )
+        ks, Ks = backward(
             A_stack, B_stack, l_x, lu, l_xx, luu, lx_stage[N - 1], lxx_stage[N - 1], reg
         )
-        dX, dU = riccati.tvlqr_rollout(
+        dX, dU = rollout_fn(
             A, B, jnp.zeros(n, dtype), jnp.zeros((N, m), dtype), jnp.zeros((N, n), dtype), ks, Ks
         )
 

@@ -7,7 +7,10 @@ two Newton-step factorizations at increasing horizons:
   system per iteration (O(N^2) memory for the prediction matrix G,
   O((N m)^3) factorization);
 - riccati: stage-structured block-tridiagonal sweep (ipm.solve_ocp_qp),
-  O(N n^3) time and O(N) memory per iteration.
+  O(N n^3) time and O(N) memory per iteration;
+- riccati_parallel: the same sweep with associative-scan backward pass +
+  rollout (riccati.tvlqr_backward_parallel) — O(log N) sequential depth
+  per iteration, SURVEY §5.7's horizon-parallel factorization.
 
 Per-solve device time is measured as one jitted lax.scan over ``reps``
 solves with varying initial states divided by ``reps`` (per-call host
@@ -57,7 +60,7 @@ def measure(horizons=HORIZONS, reps=REPS, out_path="CROSSOVER.json"):
             dtype,
         )
         row = {"N": N}
-        for kkt in ("dense", "riccati"):
+        for kkt in ("dense", "riccati", "riccati_parallel"):
 
             @jax.jit
             def run(x0s, kkt=kkt, p=p):
@@ -76,11 +79,15 @@ def measure(horizons=HORIZONS, reps=REPS, out_path="CROSSOVER.json"):
                 best = min(best, time.perf_counter() - t0)
             row[f"{kkt}_ms"] = best * 1e3 / reps
         row["speedup_riccati"] = row["dense_ms"] / row["riccati_ms"]
+        row["speedup_parallel_vs_riccati"] = (
+            row["riccati_ms"] / row["riccati_parallel_ms"]
+        )
         rows.append(row)
         print(
             f"N={N:4d}  dense {row['dense_ms']:8.3f} ms  "
             f"riccati {row['riccati_ms']:8.3f} ms  "
-            f"riccati/dense speedup {row['speedup_riccati']:.2f}x"
+            f"riccati-parallel {row['riccati_parallel_ms']:8.3f} ms  "
+            f"(par/seq {row['speedup_parallel_vs_riccati']:.2f}x)"
         )
 
     with open(out_path, "w") as fh:

@@ -241,3 +241,78 @@ def test_convergence_grading_bands():
         qpb, jnp.zeros((2, n)), iters=0, tol=r0b * 0.5 / ipm_mod.GRADE_QP
     )
     assert not np.asarray(tightb.converged).any()
+
+
+def test_parallel_riccati_matches_sequential():
+    """The associative-scan backward pass and affine rollout
+    (riccati.tvlqr_backward_parallel / tvlqr_rollout_parallel — SURVEY
+    §5.7's horizon-PARALLEL factorization, O(log N) depth) must reproduce
+    the sequential Riccati recursions on random time-varying systems."""
+    from car_racing_tpu.ops import riccati
+
+    rng = np.random.default_rng(3)
+    for N in (1, 2, 7, 50):
+        n, m = 6, 2
+        fx = jnp.asarray(np.eye(n) + 0.05 * rng.normal(size=(N, n, n)))
+        fu = jnp.asarray(0.3 * rng.normal(size=(N, n, m)))
+        lx = jnp.asarray(rng.normal(size=(N, n)))
+        lu = jnp.asarray(rng.normal(size=(N, m)))
+
+        def spd(sz):
+            X = rng.normal(size=(N, sz, sz))
+            return jnp.asarray(np.einsum("nij,nkj->nik", X, X) + 2 * np.eye(sz))
+
+        lxx, luu = spd(n), spd(m)
+        VxT = jnp.asarray(rng.normal(size=n))
+        VxxT = np.einsum("ij,kj->ik", *(2 * [rng.normal(size=(n, n))])) + 2 * np.eye(n)
+        VxxT = jnp.asarray(VxxT)
+        reg = jnp.asarray(1e-9)
+        k1, K1 = riccati.tvlqr_backward(fx, fu, lx, lu, lxx, luu, VxT, VxxT, reg)
+        k2, K2 = riccati.tvlqr_backward_parallel(fx, fu, lx, lu, lxx, luu, VxT, VxxT, reg)
+        np.testing.assert_allclose(np.asarray(k2), np.asarray(k1), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(K2), np.asarray(K1), atol=1e-8)
+
+        A = jnp.asarray(np.eye(n) + 0.05 * rng.normal(size=(n, n)))
+        B = jnp.asarray(0.3 * rng.normal(size=(n, m)))
+        x0 = jnp.asarray(rng.normal(size=n))
+        u_ref = jnp.asarray(rng.normal(size=(N, m)))
+        x_ref = jnp.asarray(rng.normal(size=(N, n)))
+        xs1, us1 = riccati.tvlqr_rollout(A, B, x0, u_ref, x_ref, k1, K1)
+        xs2, us2 = riccati.tvlqr_rollout_parallel(A, B, x0, u_ref, x_ref, k1, K1)
+        np.testing.assert_allclose(np.asarray(xs2), np.asarray(xs1), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(us2), np.asarray(us1), atol=1e-10)
+
+
+def test_stage_parallel_ocp_matches_sequential():
+    """solve_ocp_qp(stage_parallel=True) — every IPM Newton step computed
+    by associative scans — must land on the same solution as the
+    sequential Riccati path AND the dense condensed path."""
+    from car_racing_tpu.models import controllers
+    from car_racing_tpu.ops import ipm as ipm_mod
+    from car_racing_tpu.utils import params
+
+    p = params.MPCParam.default(vt=0.8)
+    sysp = params.SystemParam.default()
+    u_min = jnp.stack([-sysp.delta_max, -sysp.a_max])
+    u_max = jnp.stack([sysp.delta_max, sysp.a_max])
+    rng = np.random.default_rng(1)
+    for N in (10, 50):
+        x = jnp.asarray(np.array([0.5, 0, 0, 0, 1.0, 0.1]) + 0.1 * rng.standard_normal(6))
+        xt = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
+        common = (
+            p.A, p.B, p.Q, p.R, x, xt, u_min, u_max, sysp.v_min, sysp.v_max,
+            jnp.asarray(0.8), jnp.zeros((N, 2)),
+        )
+        U_s, X_s, sol_s = ipm_mod.solve_ocp_qp(*common, num_horizon=N, iters=40)
+        U_p, X_p, sol_p = ipm_mod.solve_ocp_qp(
+            *common, num_horizon=N, iters=40, stage_parallel=True
+        )
+        assert bool(sol_s.converged) and bool(sol_p.converged)
+        np.testing.assert_allclose(np.asarray(U_p), np.asarray(U_s), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(X_p), np.asarray(X_s), atol=1e-7)
+        if N == p.num_horizon:
+            # and against the dense condensed path (same problem)
+            u_d, U_d, X_d = controllers.mpc_lti(
+                x, xt, p, sysp, jnp.asarray(0.8), return_traj=True, kkt="dense"
+            )
+            np.testing.assert_allclose(np.asarray(U_p), np.asarray(U_d), atol=1e-6)
