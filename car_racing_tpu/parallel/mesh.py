@@ -136,19 +136,40 @@ def corridor_sweep(
         my_rank = jax.lax.axis_index("branch")
         br_idx = my_rank * BR_l + jnp.arange(BR_l)
 
-        def per_scenario(x0, bez_s, ley, lg, rey, rg, ls, rs, lv, rv, act, od):
-            # branch-invariant condensed prediction, built once per scenario
+        # per-scenario QP BUILD (branch-invariant condensed prediction built
+        # once per scenario), then ONE flat (S_l*BR_l)-problem IPM solve.
+        # Solving per scenario under vmap ran the Pallas lane-major Cholesky
+        # with an inner batch of BR_l~4, padded to its 128-lane minimum, S_l
+        # times over — measured 3.3x slower than the flat batch at the
+        # 256-solve bench shape (5.25 ms -> 1.57 ms for build+solve).
+        def build_scenario(x0, bez_s, ley, lg, rey, rg):
             phi, G, s_pred = ov.corridor_context(x0, A, B, N)
-            qp_batch = jax.vmap(
+            qp = jax.vmap(
                 lambda bez, a, b, c, d: ov.corridor_branch_qp(
                     phi, G, s_pred, width, veh_w, bez, a, b, c, d, N
                 )
             )(bez_s, ley[:, :N], lg[:, :N], rey[:, :N], rg[:, :N])
-            sol = ipm.solve_qp_batch(qp_batch, jnp.zeros((BR_l, n_u), dtype), iters=30)
-            X = jax.vmap(lambda z: ocp.unpack_states(phi, G, z, x0))(sol.z)
+            return qp, phi, G
+
+        qp_nested, phi_s, G_s = jax.vmap(build_scenario)(
+            x0_l, bez_l, ley_l, lg_l, rey_l, rg_l
+        )
+        qp_flat = jax.tree.map(
+            lambda a: a.reshape((S_l * BR_l,) + a.shape[2:]), qp_nested
+        )
+        sol = ipm.solve_qp_batch(
+            qp_flat, jnp.zeros((S_l * BR_l, n_u), dtype), iters=30
+        )
+        z_s = sol.z.reshape(S_l, BR_l, n_u)
+        conv_s = sol.converged.reshape(S_l, BR_l)
+        iters_s = sol.iterations.reshape(S_l, BR_l)
+
+        def per_scenario(x0, phi, G, z, conv, bez_s, ley, rey, ls, rs, lv,
+                         rv, act, od):
+            X = jax.vmap(lambda zz: ocp.unpack_states(phi, G, zz, x0))(z)
             # kinematic fallback for unconverged branches
             X_kin = jax.vmap(lambda bez: ov.kinematic_fallback_traj(x0, bez, N))(bez_s)
-            X = jnp.where(sol.converged[:, None, None], X, X_kin)
+            X = jnp.where(conv[:, None, None], X, X_kin)
 
             # the reference's selection cost, padding rows forced to +inf
             costs = jax.vmap(
@@ -169,12 +190,13 @@ def corridor_sweep(
                 jnp.zeros_like(X[0]),
             )
             X_best = jax.lax.psum(X_best, "branch")
-            return best, X_best, costs, sol.converged, X, sol.iterations
+            return best, X_best, costs, conv, X
 
-        return jax.vmap(per_scenario)(
-            x0_l, bez_l, ley_l, lg_l, rey_l, rg_l, ls_l, rs_l, lv_l, rv_l,
-            act_l, od_l,
+        best, X_best, costs, conv, X = jax.vmap(per_scenario)(
+            x0_l, phi_s, G_s, z_s, conv_s, bez_l, ley_l, rey_l, ls_l, rs_l,
+            lv_l, rv_l, act_l, od_l,
         )
+        return best, X_best, costs, conv, X, iters_s
 
     compiled = jax.jit(sweep)
     _SWEEP_CACHE[cache_key] = compiled
