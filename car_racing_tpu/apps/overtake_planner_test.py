@@ -62,6 +62,7 @@ def racing_overtake(args):
                 timestep=timestep,
                 lap_number=lap_number,
                 time_lmpc=10000 * timestep,
+                path_planner=args.get("path_planner", False),
                 mesh=mesh,
             )
             lmpc.set_track(track)
@@ -150,6 +151,13 @@ def main():
         "--mesh-planner", action="store_true",
         help="shard the overtake planner's corridor QPs over all local "
              "devices (parallel/mesh.corridor_sweep)",
+    )
+    parser.add_argument(
+        "--path-planner", action="store_true",
+        help="use the path-based overtake planner (ey-profile corridor "
+             "QPs, planning/overtake.OvertakePathPlanner) instead of the "
+             "trajectory planner — the dispatch the reference hardcodes "
+             "off (base.py:414)",
     )
     racing_overtake(vars(parser.parse_args()))
 

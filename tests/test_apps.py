@@ -103,3 +103,25 @@ def test_overtake_driver_replay_flag(tmp_path, repo_root):
         timeout=900,
     )
     assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_overtake_driver_path_planner_flag(repo_root):
+    """--path-planner runs the racing game with the path-based planner
+    dispatch (LMPCRacingGame(path_planner=True)) end-to-end — the planner
+    choice the reference hardcodes off (base.py:414).  Capped sim time;
+    success = the full protocol completes with the ey-profile planner."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv=['x', '--simulation', '--zero-noise',"
+        " '--lap-number', '4', '--path-planner'];"
+        "from car_racing_tpu.apps.overtake_planner_test import main;"
+        "import car_racing_tpu.racing.simulator as s;"
+        "orig = s.CarRacingSim.sim;"
+        "s.CarRacingSim.sim = lambda self, sim_time=1.0, **kw: orig(self, sim_time=min(sim_time, 40.0), **kw);"
+        "main()"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo_root, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
