@@ -35,6 +35,16 @@ def mh_report(repo_root):
     )
 
 
+@pytest.fixture(scope="module")
+def mh_report_4x1(repo_root):
+    """4 hosts x 1 device: the n_hosts=4 topology, corridor sweep +
+    exchange only."""
+    return multihost.launch(
+        num_processes=4, local_devices=1, port=9963, fleet=False,
+        repo_root=repo_root,
+    )
+
+
 def test_spanning_mesh_runs_real_programs(mh_report):
     """Every worker must pass every check: corridor-sweep parity vs its own
     process-local single-device run, bitwise safe-set replication across
@@ -106,3 +116,23 @@ def test_dcn_term_costs_efficiency():
     assert proj16["multihost"]["projected_efficiency"] < multi
     # the projection records where its latency came from (round-3 weak #4)
     assert proj["latency_source"] == "test"
+
+
+def test_four_process_topology(mh_report_4x1):
+    """The DCN-aware projection models n_hosts=4; make that axis
+    executable: 4 worker processes x 1 device each — scenario axis spans
+    all four processes — running the corridor sweep and safe-set exchange
+    with the same per-process parity asserts (fleet omitted: the heavy
+    compile x4 on 2 cores buys no additional coverage here)."""
+    rep = mh_report_4x1
+    assert rep["ok"]
+    assert rep["global_devices"] == 4
+    assert rep["num_processes"] == 4
+    assert "corridor_sweep_parity" in rep["checks_passed"]
+    assert "safe_set_exchange" in rep["checks_passed"]
+    # all four processes agree on the winners
+    wins = [
+        w["checks"]["corridor_sweep_parity"]["winning_branches"]
+        for w in rep["workers"]
+    ]
+    assert all(w == wins[0] for w in wins)
