@@ -76,24 +76,33 @@ def test_workers_agree_on_selection(mh_report):
     )
 
 
-def test_multihost_artifact(mh_report, repo_root):
-    """Record MULTIHOST_r04.json: the executable multi-process evidence plus
-    the DCN-aware analytic projection (one projection function shared with
-    bench.py; its silicon number is fed the TPU-measured sweep latency —
-    here we record the model's multihost block with stated assumptions)."""
-    proj = scaling.analytic_projection(
-        # BENCH_r03 branch_sweep_256_latency: the TPU-measured single-chip
-        # sweep; re-measured by the driver's bench run each round
-        5.74, 8, n_hosts=4,
-        latency_source="BENCH_r03 branch_sweep_256_latency (real TPU chip)",
-    )
+def test_multihost_artifact(mh_report, mh_report_4x1, repo_root):
+    """Record MULTIHOST_r04.json: the executable multi-process evidence
+    (both topologies) plus the DCN-aware analytic projection (one
+    projection function shared with bench.py, fed the TPU-measured sweep
+    latency from the committed bench artifact)."""
+    sweep_ms = 5.74
+    src = "BENCH_r03 branch_sweep_256_latency (real TPU chip)"
+    bench_path = os.path.join(repo_root, "BENCH_LOCAL.json")
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            for row in json.load(fh):
+                if row["metric"] == "branch_sweep_256_latency":
+                    sweep_ms = row["value"]
+                    src = ("BENCH_LOCAL.json branch_sweep_256_latency "
+                           "(real TPU chip)")
+    proj = scaling.analytic_projection(sweep_ms, 8, n_hosts=4,
+                                       latency_source=src)
     payload = {
-        "what": "2 OS processes x 2 virtual CPU devices joined by "
-                "jax.distributed (localhost coordinator, gloo TCP "
-                "collectives); mesh ('scenario','branch') spans processes; "
-                "runs the REAL corridor sweep + safe-set exchange + "
-                "racing-game fleet with parity asserts in every process",
-        "harness": mh_report,
+        "what": "OS processes joined by jax.distributed (localhost "
+                "coordinator, gloo TCP collectives); mesh "
+                "('scenario','branch') spans processes; runs the REAL "
+                "corridor sweep + safe-set exchange (+ racing-game fleet "
+                "on the 2x2 topology) with parity asserts in every process",
+        "topologies": {
+            "2_processes_x_2_devices": mh_report,
+            "4_processes_x_1_device": mh_report_4x1,
+        },
         "dcn_aware_projection": proj,
     }
     with open(os.path.join(repo_root, "MULTIHOST_r04.json"), "w") as fh:
