@@ -165,6 +165,27 @@ def _scenarios():
     )
     assert 0 < int(lap_steps) < 700, "m_shape LMPC lap must complete"
     out["lmpc_lap_m_shape"] = np.asarray(xc)[: int(lap_steps) + 1]
+
+    # racing-game overtake episode on m_shape (traffic placed for a clean
+    # pass — the l_shape traffic offsets put the catch-up mid-corner on
+    # this layout and the tracker grazes car1; min superellipse barrier
+    # for this config is 29/679 per car vs the >1 safe threshold)
+    opti_m = jnp.asarray(
+        np.genfromtxt("data/optimal_traj/xcurv_m_shape.csv", delimiter=",")
+    )
+    xc, us, ot, lap_steps = fused.rollout_racing_game(
+        track_m, bike, lmpc_param, rg_param, sysp, jm("xcurv0"), jm("xglob0"),
+        jm("ss1"), jm("q1"), jm("ss2"), jm("q2"), jm("u1"), jm("u2"),
+        jnp.asarray(seed_m["valid1"]), jnp.asarray(seed_m["valid2"]),
+        jnp.asarray(seed_m["counter"], jnp.int32),
+        jm("lin_points0"), jm("lin_input0"),
+        jnp.asarray([[0.5, 10.0], [0.48, 6.5]]),
+        jnp.asarray([[0.0, -0.3], [0.0, -0.55]]),
+        opti_m, n_steps=700,
+    )
+    assert int(np.asarray(ot).sum()) > 0, "m_shape episode must overtake"
+    assert 0 < int(lap_steps) < 700
+    out["racing_game_m_shape"] = np.asarray(xc)[: int(lap_steps) + 1]
     return out
 
 

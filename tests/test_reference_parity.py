@@ -38,6 +38,7 @@ CASES = [
     ("lmpc_lap_goggle", 1e-2),
     ("mpc_lti_m_shape", 1e-4),
     ("lmpc_lap_m_shape", 1e-2),
+    ("racing_game_m_shape", 1e-2),
 ]
 
 
