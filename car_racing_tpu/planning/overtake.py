@@ -383,7 +383,7 @@ class OvertakeTrajPlanner:
         left_gate = np.zeros((n_br, N + 1), bool)
         right_ey = np.zeros((n_br, N + 1))
         right_gate = np.zeros((n_br, N + 1), bool)
-        margin = 0.15
+        margin = float(getattr(param, "corridor_hold", 0.15))
         obs_s_wrapped = np.mod(obs_trajs[:, :, 4], lap_length)
         for br in range(n_br):
             if br > 0:

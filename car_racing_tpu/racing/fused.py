@@ -729,7 +729,10 @@ def rollout_racing_game(
         s_pred = x[4] + jnp.arange(Np + 1, dtype=dtype) * control_dt * x[0]
         obs_s_w = jnp.mod(obs_trajs[:, :, 4], L)  # (n_veh, Np+1)
         obs_ey = obs_trajs[:, :, 5]
-        gate_of = jnp.abs(s_pred[None] - obs_s_w) <= veh_len + 0.15  # (n_veh, Np+1)
+        gate_of = (
+            jnp.abs(s_pred[None] - obs_s_w)
+            <= veh_len + rg_param.corridor_hold
+        )  # (n_veh, Np+1)
         br = jnp.arange(n_br)
         li = jnp.clip(br - 1, 0, n_veh - 1)
         ri = jnp.clip(br, 0, n_veh - 1)

@@ -203,6 +203,14 @@ class RacingGameParam:
     bezier_order: int = dataclasses.field(metadata=dict(static=True), default=3)
     num_horizon_ctrl: int = dataclasses.field(metadata=dict(static=True), default=10)
     num_horizon_planner: int = dataclasses.field(metadata=dict(static=True), default=10)
+    # corridor-hold window: the no-overlap rows stay active while
+    # |s_pred - obs_s| <= vehicle_length + corridor_hold.  The reference's
+    # implicit 0.15 m releases the corridor as soon as the bumpers clear,
+    # which at aggressive closing speeds lets the plan cut back across a
+    # car it is still alongside (see PARITY.md "Characterized behavioral
+    # limitations"); raising it holds the passing lane longer.  Static so
+    # jit caches key on it; default preserves reference behavior.
+    corridor_hold: float = dataclasses.field(metadata=dict(static=True), default=0.15)
 
     @staticmethod
     def default(alpha=0.98, data_dir="data") -> "RacingGameParam":

@@ -631,3 +631,58 @@ def test_fused_batch_rollout():
     final = np.asarray(xcurvs[:, -1])
     assert np.abs(final[:, 5]).max() < 0.1
     assert np.abs(final[:, 0] - 0.8).max() < 0.1
+
+
+def test_corridor_hold_prevents_mid_corner_graze():
+    """Opt-in mitigation for the characterized limitation (PARITY.md): on
+    m_shape with the l_shape traffic offsets the default corridor release
+    (reference-implicit hold of 0.15 m past bumper clearance) lets the
+    plan cut back across car1 while still alongside — superellipse
+    barrier dips to ~0.04.  Holding the corridor rows for 1.2 m
+    (RacingGameParam(corridor_hold=1.2)) keeps the episode collision-free
+    while still completing the lap with overtakes."""
+    track = track_ops.load_track("m_shape", width=1.0)
+    seed = np.load("data/bench/lmpc_seed_m_shape.npz")
+    j = lambda k: jnp.asarray(seed[k])
+    opti = jnp.asarray(
+        np.genfromtxt("data/optimal_traj/xcurv_m_shape.csv", delimiter=",")
+    )
+    s_coef = np.array([[0.72, 7.5], [0.7, 5.5]])
+    ey_coef = np.array([[0.0, -0.2], [0.0, -0.5]])
+    L = float(track.lap_length)
+
+    def run(rg_param):
+        xc, us, ot, lap_steps = fused.rollout_racing_game(
+            track, dynamics.BicycleParams.default(), params.LMPCParam.default(),
+            rg_param, params.SystemParam.default(), j("xcurv0"), j("xglob0"),
+            j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+            jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+            jnp.asarray(seed["counter"], jnp.int32),
+            j("lin_points0"), j("lin_input0"),
+            jnp.asarray(s_coef), jnp.asarray(ey_coef), opti, n_steps=700,
+        )
+        ls = int(lap_steps)
+        assert 0 < ls < 700
+        xc = np.asarray(xc)[: ls + 1]
+        t = np.arange(len(xc)) * 0.1
+        bars = []
+        for sc, ec in zip(s_coef, ey_coef):
+            ds = np.abs(np.mod(xc[:, 4] - np.polyval(sc, t) + L / 2, L) - L / 2)
+            dey = np.abs(xc[:, 5] - np.polyval(ec, t))
+            bars.append(((ds / 0.4) ** 6 + (dey / 0.2) ** 6).min())
+        return min(bars), int(np.asarray(ot).sum()), ls
+
+    bar_default, ot_default, _ = run(params.RacingGameParam.default(alpha=0.8))
+    assert ot_default > 0
+    assert bar_default < 1.0, (
+        "the characterized graze no longer reproduces — update PARITY.md"
+    )
+
+    import dataclasses
+
+    held = dataclasses.replace(
+        params.RacingGameParam.default(alpha=0.8), corridor_hold=1.2
+    )
+    bar_held, ot_held, ls_held = run(held)
+    assert ot_held > 0, "held corridor must still overtake"
+    assert bar_held > 1.0, f"graze persists with corridor_hold=1.2 ({bar_held})"
