@@ -152,13 +152,16 @@ def worker(process_id: int, num_processes: int, local_devices: int,
         mesh, *sharded, num_horizon=N
     )
     best, X_best = _gather(best), _gather(X_best)
-    costs, conv = _gather(costs), _gather(conv)
+    costs, conv, iters_mh = _gather(costs), _gather(conv), _gather(iters_mh)
 
     b1, X1, c1, v1, _, it1 = mesh_mod.corridor_sweep(local_mesh, *inputs, num_horizon=N)
     np.testing.assert_array_equal(best, np.asarray(b1))
     np.testing.assert_allclose(X_best, np.asarray(X1), atol=1e-4)
     np.testing.assert_allclose(costs, np.asarray(c1), rtol=1e-4)
     np.testing.assert_array_equal(conv, np.asarray(v1))
+    # observability parity across the process boundary: identical REAL
+    # per-branch Newton counts
+    np.testing.assert_array_equal(iters_mh, np.asarray(it1))
     report["checks"]["corridor_sweep_parity"] = {
         "ok": True,
         "scenarios": S,
@@ -257,7 +260,7 @@ def launch(num_processes: int = 2, local_devices: int = 2,
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     env = _worker_env()
-    procs, outs, logs = [], [], []
+    procs, outs, logs, log_fhs = [], [], [], []
     with tempfile.TemporaryDirectory() as td:
         for pid in range(num_processes):
             out_path = os.path.join(td, f"worker_{pid}.json")
@@ -275,13 +278,17 @@ def launch(num_processes: int = 2, local_devices: int = 2,
             ]
             if not fleet:
                 cmd.append("--no-fleet")
+            log_fh = open(log_path, "w")
+            log_fhs.append(log_fh)
             procs.append(
                 subprocess.Popen(
                     cmd, env=env, cwd=repo_root,
-                    stdout=open(log_path, "w"), stderr=subprocess.STDOUT,
+                    stdout=log_fh, stderr=subprocess.STDOUT,
                 )
             )
         fails = []
+        for fh in log_fhs:
+            fh.close()
         for pid, p in enumerate(procs):
             try:
                 rc = p.wait(timeout=timeout_s)
