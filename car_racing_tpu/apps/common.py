@@ -65,6 +65,19 @@ def finish(sim, args, name_prefix, racing_game=False):
     if report:
         print("solver latency (host wall-clock, incl. dispatch):")
         print(report)
+    if racing_game:
+        # per-branch solver effort of the last planner dispatch — REAL
+        # Newton counts on both the single-chip and mesh paths (recorded
+        # branch wall times are batch-uniform since all branches solve as
+        # one fused batch)
+        pol = getattr(sim.vehicles.get("ego"), "ctrl_policy", None)
+        planner = getattr(pol, "overtake_planner", None)
+        iters = getattr(planner, "last_branch_iterations", None)
+        if iters is not None:
+            print(
+                "last planner dispatch per-branch Newton iters: "
+                f"{[int(v) for v in iters]}"
+            )
     if args.get("plotting"):
         os.makedirs("media/plots", exist_ok=True)
         plotting.plot_simulation(sim, save_path=f"media/plots/{name_prefix}_traj.png")
