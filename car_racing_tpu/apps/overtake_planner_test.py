@@ -56,9 +56,16 @@ def racing_overtake(args):
                 from ..parallel import mesh as mesh_mod
 
                 mesh = mesh_mod.make_branch_mesh()
+            import dataclasses as _dc
+
+            rg_param = params.RacingGameParam.default(alpha=alpha)
+            if args.get("corridor_hold") is not None:
+                rg_param = _dc.replace(
+                    rg_param, corridor_hold=float(args["corridor_hold"])
+                )
             lmpc = policies.LMPCRacingGame(
                 params.LMPCParam.default(),
-                racing_game_param=params.RacingGameParam.default(alpha=alpha),
+                racing_game_param=rg_param,
                 timestep=timestep,
                 lap_number=lap_number,
                 time_lmpc=10000 * timestep,
@@ -151,6 +158,13 @@ def main():
         "--mesh-planner", action="store_true",
         help="shard the overtake planner's corridor QPs over all local "
              "devices (parallel/mesh.corridor_sweep)",
+    )
+    parser.add_argument(
+        "--corridor-hold", type=float, default=None,
+        help="hold the planner's corridor no-overlap rows while "
+             "|s_pred - obs_s| <= vehicle_length + HOLD metres "
+             "(default 0.15 = reference behavior; larger values prevent "
+             "cutting back across a car still alongside — see PARITY.md)",
     )
     parser.add_argument(
         "--path-planner", action="store_true",
