@@ -186,6 +186,20 @@ def _scenarios():
     assert int(np.asarray(ot).sum()) > 0, "m_shape episode must overtake"
     assert 0 < int(lap_steps) < 700
     out["racing_game_m_shape"] = np.asarray(xc)[: int(lap_steps) + 1]
+
+    # ---- ellipse LMPC lap: with this, every stock layout has a pinned
+    # learned lap (l_shape, goggle, m_shape, ellipse) -------------------
+    seed_e = np.load("data/bench/lmpc_seed_ellipse.npz")
+    je = lambda k: jnp.asarray(seed_e[k])
+    xc, us, dones, lap_steps = fused.rollout_lmpc_lap(
+        track_ell, bike, lmpc_param, sysp, je("xcurv0"), je("xglob0"),
+        je("ss1"), je("q1"), je("ss2"), je("q2"), je("u1"), je("u2"),
+        jnp.asarray(seed_e["valid1"]), jnp.asarray(seed_e["valid2"]),
+        jnp.asarray(seed_e["counter"], jnp.int32),
+        je("lin_points0"), je("lin_input0"), n_steps=400,
+    )
+    assert 0 < int(lap_steps) < 400, "ellipse LMPC lap must complete"
+    out["lmpc_lap_ellipse"] = np.asarray(xc)[: int(lap_steps) + 1]
     return out
 
 

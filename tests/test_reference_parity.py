@@ -39,6 +39,7 @@ CASES = [
     ("mpc_lti_m_shape", 1e-4),
     ("lmpc_lap_m_shape", 1e-2),
     ("racing_game_m_shape", 1e-2),
+    ("lmpc_lap_ellipse", 1e-2),
 ]
 
 
