@@ -686,3 +686,19 @@ def test_corridor_hold_prevents_mid_corner_graze():
     bar_held, ot_held, ls_held = run(held)
     assert ot_held > 0, "held corridor must still overtake"
     assert bar_held > 1.0, f"graze persists with corridor_hold=1.2 ({bar_held})"
+
+
+def test_learning_protocol_other_layout():
+    """The protocol's auto-sizing claim ('runs unmodified on all four
+    layouts') exercised beyond l_shape: a zero-to-learned run on ellipse —
+    the PID seed lap, the MPC seed lap, and one fused LMPC lap must each
+    beat its predecessor with no layout-specific configuration."""
+    from car_racing_tpu.racing import protocol
+
+    track = track_ops.load_track("ellipse", width=1.0)
+    out = protocol.run_learning_protocol(track, n_laps=1)
+    curve = out["lap_steps"]
+    assert len(curve) == 3  # PID, MPC, 1 learned lap
+    assert all(a > b for a, b in zip(curve, curve[1:])), curve
+    # regime check vs the committed ellipse seed fixture (PID 379/MPC 344)
+    assert 250 < curve[0] < 500 and curve[-1] < curve[1]
