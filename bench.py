@@ -175,11 +175,17 @@ def main():
             half, half, n_steps=ilqr_steps,
         )
 
-    s = _timed(run_ilqr, reps=10, block=block) * 1e3 / ilqr_steps
+    t = _timed(run_ilqr, reps=10, block=block)
+    s = t * 1e3 / ilqr_steps
     emit("ilqr_step_latency_p50_fused", np.percentile(s, 50), "ms",
          LATENCY_TARGET_MS / np.percentile(s, 50))
     emit("ilqr_step_latency_p99_fused", np.percentile(s, 99), "ms",
          LATENCY_TARGET_MS / np.percentile(s, 99))
+    # real per-solve Levenberg iteration counts / fused loop device time
+    ilqr_iters = int(np.sum(np.asarray(run_ilqr()[2])))
+    ilqr_iters_per_s = ilqr_iters / float(np.percentile(t, 50))
+    emit("ilqr_levenberg_iters_per_s", ilqr_iters_per_s, "1/s",
+         ilqr_iters_per_s / ITERS_TARGET)
 
     # shift-warm-started variant (opt-in, iLQRRacing(warm_start=True)):
     # warm solves exit the Levenberg while_loop in a few iterations — the

@@ -214,7 +214,9 @@ def rollout_ilqr(
     collision-free passing line, converging in a few Levenberg iterations
     instead of ~10-20 (the latency headline in bench.py).
 
-    Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U)).
+    Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U),
+    iters (n_steps,) int32 — REAL per-solve Levenberg iteration counts,
+    the same honest effort signal the CBF/QP paths report).
     """
     N = ilqr_param.num_horizon
     dtype = xcurv0.dtype
@@ -234,7 +236,7 @@ def rollout_ilqr(
     def step(carry, k):
         xcurv, xglob, u_warm = carry
         t = k.astype(dtype) * control_dt
-        u, U, _ = controllers.ilqr(
+        u, U, it = controllers.ilqr(
             xcurv, xtarget, ilqr_param, obs_forecast(t), agent_half, obs_half,
             u_init=u_warm if warm_start else None, return_seq=True,
         )
@@ -243,14 +245,14 @@ def rollout_ilqr(
         )
         # same shift-warm-start as the host iLQRRacing policy
         u_warm_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
-        return (xcurv_next, xglob_next, u_warm_next), (xcurv, u)
+        return (xcurv_next, xglob_next, u_warm_next), (xcurv, u, it)
 
     u_warm0 = jnp.zeros((N, U_DIM), dtype)
-    (xcurv_T, _, _), (xcurvs, us) = jax.lax.scan(
+    (xcurv_T, _, _), (xcurvs, us, its) = jax.lax.scan(
         step, (xcurv0, xglob0, u_warm0), jnp.arange(n_steps)
     )
     xcurvs = jnp.concatenate([xcurvs, xcurv_T[None]], axis=0)
-    return xcurvs, us
+    return xcurvs, us, its
 
 
 @partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))

@@ -99,7 +99,7 @@ def _scenarios():
     track_ell = track_ops.load_track("ellipse", width=1.0)
     ilqr_param = params.ILQRParam.default(vt=0.8)
     half = jnp.asarray([0.2, 0.1])
-    xc, _ = fused.rollout_ilqr(
+    xc, _, _ = fused.rollout_ilqr(
         track_ell, bike, ilqr_param, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         jnp.asarray([0.2, 5.0]), jnp.asarray([0.0, 0.1]), half, half,
         n_steps=100,

@@ -112,11 +112,14 @@ def test_fused_ilqr_matches_host_loop():
 
     half = jnp.asarray([0.2, 0.1])
     xtarget = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
-    xc, us = fused.rollout_ilqr(
+    xc, us, its = fused.rollout_ilqr(
         track, bike, ilqr_param, xtarget, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         jnp.asarray(obs_s), jnp.asarray(obs_ey), half, half, n_steps=n_steps,
     )
     xc = np.asarray(xc)
+    # REAL per-solve Levenberg counts: spread, early-exit, never max_iter
+    its = np.asarray(its)
+    assert len(np.unique(its)) > 1 and its.max() < int(ilqr_param.max_iter)
 
     # behavior: follows the leader without collision (tests/test_ilqr.py gates)
     tail = xc[n_steps // 2 :]
@@ -173,12 +176,14 @@ def test_fused_ilqr_warm_start_passes_blocking_car():
     n_steps = 100
     half = jnp.asarray([0.2, 0.1])
     xtarget = jnp.asarray([0.8, 0, 0, 0, 0, 0.0])
-    xc, us = fused.rollout_ilqr(
+    xc, us, its_w = fused.rollout_ilqr(
         track, bike, ilqr_param, xtarget, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         jnp.asarray(obs_s), jnp.asarray(obs_ey), half, half, n_steps=n_steps,
         warm_start=True,
     )
     xc = np.asarray(xc)
+    # warm solves exit in few iterations (the latency point of warm starts)
+    assert float(np.asarray(its_w).mean()) < 12.0
     L = float(track.lap_length)
     t = np.arange(len(xc)) * 0.1
     s_obs = np.polyval(obs_s, t)
