@@ -80,7 +80,12 @@ def main():
     dtype = jnp.float32
     cast = lambda tree: jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
     block = jax.block_until_ready
-    rng = np.random.default_rng(0)
+    # per-SECTION generators: a shared stream would let any added metric
+    # (an extra fn() call draws from it) shift every later section's
+    # perturbations — observed: surfacing the iLQR iteration metric moved
+    # the learning section onto a start state whose lap didn't complete
+    rngs = {k: np.random.default_rng(i) for i, k in enumerate(
+        ("lti", "cbf", "ilqr", "lmpc", "learning", "rg", "fleet"))}
     results = []
 
     def emit(metric, value, unit, vs_baseline):
@@ -108,7 +113,8 @@ def main():
 
     def run_lti():
         xc0 = jnp.asarray(
-            np.array([0.1, 0, 0, 0, 0, 0]) + 0.05 * rng.standard_normal(X_DIM), dtype
+            np.array([0.1, 0, 0, 0, 0, 0])
+            + 0.05 * rngs["lti"].standard_normal(X_DIM), dtype
         )
         return fused.rollout_mpc_tracking(
             track, bike, mpc_param, sysp, xtarget, xc0, jnp.zeros(X_DIM, dtype),
@@ -135,7 +141,8 @@ def main():
 
     def run_cbf():
         xc0 = jnp.asarray(
-            np.array([0.3, 0, 0, 0, 0, 0]) + 0.02 * rng.standard_normal(X_DIM), dtype
+            np.array([0.3, 0, 0, 0, 0, 0])
+            + 0.02 * rngs["cbf"].standard_normal(X_DIM), dtype
         )
         return fused.rollout_mpccbf(
             track_wide, bike, cbf_param, sysp, xtarget, xc0,
@@ -167,7 +174,8 @@ def main():
 
     def run_ilqr():
         xc0 = jnp.asarray(
-            np.array([0.1, 0, 0, 0, 0, 0]) + 0.02 * rng.standard_normal(X_DIM), dtype
+            np.array([0.1, 0, 0, 0, 0, 0])
+            + 0.02 * rngs["ilqr"].standard_normal(X_DIM), dtype
         )
         return fused.rollout_ilqr(
             track_ell, bike, ilqr_param, xtarget, xc0, jnp.zeros(X_DIM, dtype),
@@ -193,7 +201,8 @@ def main():
     # fixed-point solver (behavior note: racing/fused.rollout_ilqr docstring)
     def run_ilqr_warm():
         xc0 = jnp.asarray(
-            np.array([0.1, 0, 0, 0, 0, 0]) + 0.02 * rng.standard_normal(X_DIM), dtype
+            np.array([0.1, 0, 0, 0, 0, 0])
+            + 0.02 * rngs["ilqr"].standard_normal(X_DIM), dtype
         )
         return fused.rollout_ilqr(
             track_ell, bike, ilqr_param, xtarget, xc0, jnp.zeros(X_DIM, dtype),
@@ -217,7 +226,8 @@ def main():
 
     def run_lmpc():
         xc0 = j("xcurv0") + jnp.asarray(
-            0.01 * rng.standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]), dtype
+            0.01 * rngs["lmpc"].standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]),
+            dtype,
         )
         return fused.rollout_lmpc_lap(
             track_wide, bike, lmpc_param, sysp, xc0, j("xglob0"),
@@ -255,7 +265,8 @@ def main():
 
     def run_learning():
         xc0 = j("xcurv0") + jnp.asarray(
-            0.01 * rng.standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]), dtype
+            0.01 * rngs["learning"].standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]),
+            dtype,
         )
         return fused.rollout_lmpc_learning(
             track_wide, bike, lmpc_param, sysp, xc0, j("xglob0"),
@@ -343,7 +354,8 @@ def main():
 
     def run_rg():
         xc0 = j("xcurv0") + jnp.asarray(
-            0.005 * rng.standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]), dtype
+            0.005 * rngs["rg"].standard_normal(X_DIM) * np.array([1, 1, 1, 1, 0, 1]),
+            dtype,
         )
         return fused.rollout_racing_game(
             track_wide, bike, lmpc_param, rg_param, sysp, xc0, j("xglob0"),
@@ -370,7 +382,7 @@ def main():
     # lane-step within the 10 ms solve budget -> B*steps / (B*steps*10ms))
     B_f, fleet_steps = 8, 100
     pert = np.zeros((B_f, X_DIM))
-    pert[:, 5] = rng.normal(0, 0.01, B_f)
+    pert[:, 5] = rngs["fleet"].normal(0, 0.01, B_f)
     xc0_b = j("xcurv0") + jnp.asarray(pert, dtype)
     xg0_b = jnp.broadcast_to(j("xglob0"), (B_f, X_DIM))
 

@@ -405,7 +405,21 @@ def solve_qp(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None = None
         a_s = jnp.minimum(1.0, jnp.min(neg(ds, s)))
         a_l = jnp.minimum(1.0, jnp.min(neg(dlam, lam)))
 
-        upd = ~converged_now
+        # non-finite step guard (same containment as solve_qp_nl): the
+        # TPU-f32 LU on the bordered LMPC KKT can emit NaN when the
+        # selected safe-set points degenerate (observed near the lap wrap:
+        # clamped select_points windows repeat rows, the hull block goes
+        # singular, CPU f32 survives with large-but-finite pivots while
+        # TPU f32 NaNs).  Skip the step instead of poisoning the iterate —
+        # the caller gets the last finite point with converged=False and
+        # closed loops continue on the warm start.
+        ok = (
+            jnp.all(jnp.isfinite(dz))
+            & jnp.all(jnp.isfinite(ds))
+            & jnp.all(jnp.isfinite(dlam))
+            & jnp.all(jnp.isfinite(dnu))
+        )
+        upd = (~converged_now) & ok
         z = jnp.where(upd, z + a_s * dz, z)
         s = jnp.where(upd, s + a_s * ds, s)
         lam = jnp.where(upd, lam + a_l * dlam, lam)
@@ -520,7 +534,15 @@ def solve_qp_batch(qp: QP, z0: jax.Array, *, iters: int = 30, tol: float | None 
         a_s = jnp.minimum(1.0, jnp.min(neg(ds, s), axis=1))
         a_l = jnp.minimum(1.0, jnp.min(neg(dlam, lam), axis=1))
 
-        upd = (~done)[:, None]
+        # per-problem non-finite step guard (see solve_qp): freeze a
+        # problem whose Newton step went NaN instead of poisoning it
+        ok = (
+            jnp.all(jnp.isfinite(dz), axis=1)
+            & jnp.all(jnp.isfinite(ds), axis=1)
+            & jnp.all(jnp.isfinite(dlam), axis=1)
+            & (jnp.all(jnp.isfinite(dnu), axis=1) if p else True)
+        )
+        upd = ((~done) & ok)[:, None]
         z = jnp.where(upd, z + a_s[:, None] * dz, z)
         s = jnp.where(upd, s + a_s[:, None] * ds, s)
         lam = jnp.where(upd, lam + a_l[:, None] * dlam, lam)

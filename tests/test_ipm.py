@@ -316,3 +316,45 @@ def test_stage_parallel_ocp_matches_sequential():
                 x, xt, p, sysp, jnp.asarray(0.8), return_traj=True, kkt="dense"
             )
             np.testing.assert_allclose(np.asarray(U_p), np.asarray(U_d), atol=1e-6)
+
+
+def test_nonfinite_newton_step_guard():
+    """A Newton step that overflows to non-finite (f32 + extreme equality
+    scaling; the production trigger was TPU-f32 LU on a degenerate LMPC
+    hull block near the lap wrap — 2/40 perturbed learning lanes went NaN
+    before the guard, 0/40 after) must FREEZE the iterate at the last
+    finite point instead of poisoning it: the caller gets a finite
+    warm-start iterate with converged=False and closed loops continue."""
+    # x64 is enabled in the test config, but dtypes follow the inputs:
+    # all-f32 problem data keeps the whole solve in f32
+    if True:
+        n, m, p = 4, 2, 2
+        f32 = jnp.float32
+        H = jnp.eye(n, dtype=f32)
+        g = jnp.asarray([1.0, -1.0, 0.5, 0.0], f32)
+        C = jnp.eye(n, dtype=f32)[:m]
+        d = jnp.full((m,), -10.0, f32)
+        # equality rows at 1e30: LU elimination on the bordered KKT
+        # overflows f32 -> inf/nan Newton step
+        E = jnp.full((p, n), 1e30, f32)
+        e = jnp.zeros(p, f32)
+        z0 = jnp.asarray([0.1, -0.1, 0.2, 0.3], f32)
+        sol = ipm.solve_qp(ipm.QP(H=H, g=g, C=C, d=d, E=E, e=e), z0, iters=10)
+        # the guard's contract: every reported field stays FINITE (steps
+        # before the overflow may legitimately move the iterate) and the
+        # failure is reported via converged=False
+        assert bool(jnp.isfinite(sol.z).all())
+        assert bool(jnp.isfinite(sol.lam).all()) and bool(jnp.isfinite(sol.s).all())
+        assert bool(jnp.isfinite(sol.kkt_res))
+        assert not bool(sol.converged)
+
+        # batched variant: one poisoned problem must not affect neighbors
+        E_ok = jnp.zeros((p, n), f32).at[:, :p].set(jnp.eye(p, dtype=f32))
+        qp_b = ipm.QP(
+            H=jnp.stack([H, H]), g=jnp.stack([g, g]), C=jnp.stack([C, C]),
+            d=jnp.stack([d, d]), E=jnp.stack([E_ok, E]), e=jnp.stack([e, e]),
+        )
+        solb = ipm.solve_qp_batch(qp_b, jnp.stack([z0, z0]), iters=10)
+        assert bool(jnp.isfinite(solb.z).all())
+        assert bool(solb.converged[0]), "healthy problem must still converge"
+        assert not bool(solb.converged[1])
