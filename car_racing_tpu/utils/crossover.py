@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 HORIZONS = (10, 20, 50, 100, 200)
-REPS = 50
+REPS = 300  # ~25 ms fixed per-call overhead must amortize (see bench.py)
 
 
 def measure(horizons=HORIZONS, reps=REPS, out_path="CROSSOVER.json"):
