@@ -24,6 +24,13 @@ sweep's device time at the XLA default.  ``solve_batched``/
 ``solve_multi_batched`` therefore default to the PALLAS kernels on TPU;
 set ``CAR_RACING_TPU_PALLAS_SOLVE=0`` to fall back to XLA's batched
 Cholesky.
+
+Re-validated 2026-08 (r4) with the overhead-cancelling slope method
+(after discovering the tunnel's ~25-30 ms fixed per-call overhead and
+its sub-threshold sync hazard, see bench.py/_timed_fused): timing scans
+of 200 vs 1000 solves and taking the slope gives ~3 us per (256,20,20)
+Pallas solve vs ~1.4 ms per XLA batched LU solve — the dispatch policy's
+margin is, if anything, larger than the original 40x figure.
 """
 
 from __future__ import annotations
