@@ -381,8 +381,30 @@ def main():
     solve = jax.jit(lambda qp: ipm.solve_qp_batch(qp, z0, iters=30))
     sol = block(solve(qp_batch))
     total_iters = int(np.sum(np.asarray(sol.iterations)))
-    t = _timed(lambda: solve(qp_batch), reps=20, block=block)
-    iters_per_s = total_iters / float(np.percentile(t, 50))
+    # scan-fused timing with per-rep g perturbation (the solve is ~2 ms —
+    # far below the tunnel's sync threshold, so per-call timing measured
+    # only the ~25 ms dispatch overhead and understated this metric ~10x)
+    solve_reps = 200
+    g_scales = jnp.linspace(1.0, 1.001, solve_reps).astype(dtype)
+
+    @jax.jit
+    def many_solves(g_scales):
+        def body(acc, c):
+            qp_c = qp_batch._replace(g=qp_batch.g * c) if hasattr(
+                qp_batch, "_replace") else dataclasses.replace(
+                qp_batch, g=qp_batch.g * c)
+            s_ = ipm.solve_qp_batch(qp_c, z0, iters=30)
+            return acc + s_.z.sum() + s_.iterations.sum().astype(dtype), None
+        return jax.lax.scan(body, jnp.asarray(0.0, dtype), g_scales)[0]
+
+    import dataclasses
+    float(many_solves(g_scales))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many_solves(g_scales))
+        best = min(best, time.perf_counter() - t0)
+    iters_per_s = total_iters / (best / solve_reps)
     emit("qp_newton_iters_per_s", iters_per_s, "1/s", iters_per_s / ITERS_TARGET)
 
     # ---- 6. fused racing-game lap (LMPC <-> planner + CBF tracker) ----------
