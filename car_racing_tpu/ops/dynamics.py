@@ -126,7 +126,7 @@ def curv_step(track: track_ops.Track, params: BicycleParams, xcurv, u, dt):
     return xcurv_next
 
 
-@partial(jax.jit, static_argnames=("control_dt", "sub_dt", "unroll"))
+@partial(jax.jit, static_argnames=("control_dt", "sub_dt", "unroll", "backend"))
 def propagate(
     track: track_ops.Track,
     params: BicycleParams,
@@ -136,6 +136,7 @@ def propagate(
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
     unroll: int = 1,
+    backend: str = "scan",
 ):
     """Propagate one control period with fine Euler substeps.
 
@@ -152,7 +153,24 @@ def propagate(
     compilation context*, which breaks the framework's bitwise fused-vs-host
     agreement and the pinned goldens; throughput paths with no host twin
     (the racing-game fleet) opt in.
+
+    ``backend="pallas"`` (opt-in) runs the whole period as ONE Pallas
+    kernel (ops/pallas_kernels.propagate_fused): slope-measured on v5e at
+    0.193 ms vs the scan's 1.689 ms per 100-substep period (8.8x) — the
+    scan's cost is per-launch latency of its ~dozen tiny kernels per
+    substep, roughly HALF of every closed-loop step.  Numerically
+    equivalent (max |diff| ~1e-9 over a full period; in-kernel atan since
+    Mosaic lowers neither atan nor atan2) but NOT bitwise identical to
+    the scan, so switching flips the pinned goldens — kept opt-in until
+    that regeneration is done consciously (f32 only; TPU only).
     """
+    if backend == "pallas":
+        from . import pallas_kernels
+
+        return pallas_kernels.propagate_fused(
+            track, params, xglob, xcurv, u, control_dt=control_dt,
+            sub_dt=sub_dt,
+        )
     n_sub = int(round(control_dt / sub_dt))
 
     def body(carry, _):

@@ -246,3 +246,179 @@ def solve_multi_batched(A: jax.Array, Brhs: jax.Array) -> jax.Array:
         return cholesky_solve_multi_batched(A, Brhs)
     L = jnp.linalg.cholesky(A)
     return jax.scipy.linalg.cho_solve((L, True), Brhs)
+
+
+# ---------------------------------------------------------------------------
+# Fused control-period integrator: the 100-substep Euler loop as ONE kernel.
+#
+# Honest slope-measured decomposition (r4, after the tunnel-sync fixes): the
+# lax.scan substep loop costs ~1.7 ms per control period — roughly HALF of
+# every closed-loop step (LMPC step 3.5 ms = 1.8 solve + 1.7 dynamics) —
+# because its body lowers to ~a dozen separate tiny kernels whose per-launch
+# latency dominates the ~30 scalar flops of actual work.  Fusing the whole
+# loop into one Pallas kernel keeps all state in registers/VMEM: state
+# variables live as broadcast (1, 128) tiles (VPU transcendentals), the
+# segment table sits in VMEM lanes, and the curvature lookup replicates
+# track.curvature's first-match argmax semantics with lane reductions.
+#
+# OPT-IN (dynamics.propagate(backend="pallas")): Mosaic's transcendental
+# lowerings (sin/cos/arctan) differ from XLA's in the last ulps, so this
+# backend is numerically equivalent but NOT bitwise identical to the scan
+# path — switching it on moves the pinned goldens.  It is wired, tested for
+# closed-loop equivalence (tests/test_pallas_kernels.py), and measured;
+# flipping the default is a conscious golden-regeneration decision.
+# ---------------------------------------------------------------------------
+
+_LANES = 128
+
+
+def _prop_kernel_body(n_sub: int, sub_dt: float):
+    def kernel(tbl_ref, st_ref, out_ref):
+        # iota built IN-kernel (a captured constant would be rejected);
+        # Mosaic's tpu.iota is integer-only — cast afterwards
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        lane = lane_i.astype(jnp.float32)
+
+        def get(vec, i):
+            return jnp.sum(jnp.where(lane_i == i, vec, 0.0))
+
+        tbl = tbl_ref[...]  # (4, LANES): s0 | hi | curv | laneidx(unused)
+        st = st_ref[...]  # (1, LANES) packed state/params
+        s0_row = tbl[0:1]
+        hi_row = tbl[1:2]
+        curv_row = tbl[2:3]
+
+        # unpack (scalars broadcast back onto tiles on use)
+        vx, vy, wz = get(st, 0), get(st, 1), get(st, 2)
+        epsi, s, ey = get(st, 3), get(st, 4), get(st, 5)
+        psi, X, Y = get(st, 9), get(st, 10), get(st, 11)
+        delta, a = get(st, 12), get(st, 13)
+        lap_len = get(st, 14)
+        m, lf, lr, Iz = get(st, 16), get(st, 17), get(st, 18), get(st, 19)
+        Df, Cf, Bf = get(st, 20), get(st, 21), get(st, 22)
+        Dr, Cr, Br = get(st, 23), get(st, 24), get(st, 25)
+        dt = jnp.float32(sub_dt)
+        sin_d = jnp.sin(delta)
+        cos_d = jnp.cos(delta)
+
+        def atan(t):
+            # Mosaic lowers neither atan nor atan2: three half-angle
+            # reductions (|r| < tan(pi/16) ~ 0.199) + 5-term Taylor gives
+            # < 2e-9 relative error — beyond f32 precision.  Inputs are
+            # clamped so t*t cannot overflow (atan saturates long before).
+            t = jnp.clip(t, -1e15, 1e15)
+
+            def half(x):
+                return x / (1.0 + jnp.sqrt(1.0 + x * x))
+
+            r = half(half(half(t)))
+            z2 = r * r
+            p = r * (1.0 + z2 * (
+                jnp.float32(-1.0 / 3.0) + z2 * (
+                    jnp.float32(0.2) + z2 * (
+                        jnp.float32(-1.0 / 7.0) + z2 * jnp.float32(1.0 / 9.0)
+                    )
+                )
+            ))
+            return 8.0 * p
+
+        def substep(_, carry):
+            vx, vy, wz, epsi, s, ey, psi, X, Y = carry
+            # curvature: first-match segment (track.curvature semantics)
+            s_w = s - jnp.floor(s / lap_len) * lap_len
+            inside = (s_w >= s0_row) & (s_w < hi_row)
+            first = jnp.min(jnp.where(inside, lane, jnp.float32(_LANES)))
+            curv = jnp.sum(jnp.where(lane == first, curv_row, 0.0))
+
+            # Mosaic has no atan2 lowering; for this model vx >= 0
+            # always (forward driving), where atan2(y, x) == atan(y/x)
+            # up to the x ~ 0 limit, which the tiny floor preserves
+            # (y/1e-30 saturates, atan -> +-pi/2)
+            x_safe = jnp.maximum(vx, jnp.float32(1e-30))
+            alpha_f = delta - atan((vy + lf * wz) / x_safe)
+            alpha_r = -atan((vy - lr * wz) / x_safe)
+            Fyf = 2.0 * Df * jnp.sin(Cf * atan(Bf * alpha_f))
+            Fyr = 2.0 * Dr * jnp.sin(Cr * atan(Br * alpha_r))
+            dvx = a - Fyf * sin_d / m + wz * vy
+            dvy = (Fyf * cos_d + Fyr) / m - wz * vx
+            dwz = (lf * Fyf * cos_d - lr * Fyr) / Iz
+
+            den = 1.0 - curv * ey
+            sin_e = jnp.sin(epsi)
+            cos_e = jnp.cos(epsi)
+            s_dot = (vx * cos_e - vy * sin_e) / den
+            sin_p = jnp.sin(psi)
+            cos_p = jnp.cos(psi)
+
+            return (
+                vx + dt * dvx,
+                vy + dt * dvy,
+                wz + dt * dwz,
+                epsi + dt * (wz - s_dot * curv),
+                s + dt * s_dot,
+                ey + dt * (vx * sin_e + vy * cos_e),
+                psi + dt * wz,
+                X + dt * (vx * cos_p - vy * sin_p),
+                Y + dt * (vx * sin_p + vy * cos_p),
+            )
+
+        # NOTE: the scan path's step() OVERWRITES xglob's velocity rows
+        # from xcurv's each substep (they share dvx/dvy/dwz and the xcurv
+        # base), so the kernel carries one velocity set and writes it to
+        # both output blocks
+        out = jax.lax.fori_loop(
+            0, n_sub, substep,
+            (vx, vy, wz, epsi, s, ey, psi, X, Y),
+        )
+        ovx, ovy, owz, oepsi, os_, oey, opsi, oX, oY = out
+        vals = (ovx, ovy, owz, oepsi, os_, oey, ovx, ovy, owz, opsi, oX, oY)
+        acc = jnp.zeros((1, _LANES), jnp.float32)
+        for i, v in enumerate(vals):
+            acc = acc + jnp.where(lane_i == i, v, 0.0)
+        out_ref[...] = acc
+
+    return kernel
+
+
+def propagate_fused(track, params, xglob, xcurv, u, control_dt=0.1,
+                    sub_dt=0.001, interpret: bool = False):
+    """One control period of Euler substeps as a single Pallas kernel.
+
+    Same signature semantics as dynamics.propagate (which dispatches here
+    under ``backend="pallas"``); f32 only."""
+    from . import track as track_ops_mod
+
+    n_sub = int(round(control_dt / sub_dt))
+    K = track.s0.shape[0]
+    assert K <= _LANES, "segment table exceeds one lane tile"
+    f32 = jnp.float32
+
+    tbl = jnp.full((4, _LANES), 1e30, f32)
+    tbl = tbl.at[0, :K].set(track.s0.astype(f32))
+    tbl = tbl.at[1, :].set(-1e30)
+    tbl = tbl.at[1, :K].set(
+        (track.s0 + track.seg_len + track_ops_mod._S_TOL).astype(f32)
+    )
+    tbl = tbl.at[2, :].set(0.0)
+    tbl = tbl.at[2, :K].set(track.curv.astype(f32))
+
+    st = jnp.zeros((1, _LANES), f32)
+    st = st.at[0, 0:6].set(xcurv.astype(f32))
+    st = st.at[0, 6:12].set(xglob.astype(f32))
+    st = st.at[0, 12:14].set(u.astype(f32))
+    st = st.at[0, 14].set(track.lap_length.astype(f32))
+    par = jnp.stack([
+        params.m, params.lf, params.lr, params.Iz,
+        params.Df, params.Cf, params.Bf,
+        params.Dr, params.Cr, params.Br,
+    ]).astype(f32)
+    st = st.at[0, 16:26].set(par)
+
+    out = pl.pallas_call(
+        _prop_kernel_body(n_sub, float(sub_dt)),
+        out_shape=jax.ShapeDtypeStruct((1, _LANES), f32),
+        interpret=interpret,
+    )(tbl, st)
+    xcurv_next = out[0, 0:6]
+    xglob_next = out[0, 6:12]
+    return xglob_next, xcurv_next

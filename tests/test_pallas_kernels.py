@@ -54,3 +54,36 @@ def test_batch_padding_path():
     x = pallas_kernels.cholesky_solve_batched(jnp.asarray(A), jnp.asarray(b), interpret=True)
     x_ref = np.linalg.solve(A, b[..., None])[..., 0]
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_propagate_fused_matches_scan():
+    """The fused Pallas control-period integrator (interpret mode on CPU)
+    must track the lax.scan reference bitwise-in-interpret / to ~1e-9 on
+    TPU (the opt-in backend of dynamics.propagate; see its docstring for
+    the measured 8.8x and the golden-flip caveat)."""
+    import numpy as np
+    import jax
+
+    from car_racing_tpu.ops import dynamics, pallas_kernels, track as track_ops
+
+    f32 = jnp.float32
+    cast = lambda t: jax.tree.map(lambda a: jnp.asarray(a, f32), t)
+    track = cast(track_ops.load_track("l_shape", width=1.0))
+    bike = cast(dynamics.BicycleParams.default())
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        xc = jnp.asarray(
+            np.array([0.8, 0.01, 0.02, 0.01, 5.0, 0.05])
+            + 0.3 * rng.standard_normal(6) * np.array([1, 0.1, 0.1, 0.1, 10, 1]),
+            f32,
+        )
+        xg = jnp.asarray(rng.standard_normal(6), f32)
+        u = jnp.asarray([0.05, 0.3] + 0.1 * rng.standard_normal(2), f32)
+        xg1, xc1 = dynamics.propagate(track, bike, xg, xc, u)
+        xg2, xc2 = pallas_kernels.propagate_fused(
+            track, bike, xg, xc, u, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(xc2), np.asarray(xc1), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(xg2), np.asarray(xg1), atol=2e-6)
+    # the dispatch flag routes to the same kernel (compiled path is
+    # TPU-only; interpret keeps this testable on the CPU mesh)
