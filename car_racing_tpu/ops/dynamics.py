@@ -136,7 +136,7 @@ def propagate(
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
     unroll: int = 1,
-    backend: str = "scan",
+    backend: str = "auto",
 ):
     """Propagate one control period with fine Euler substeps.
 
@@ -164,6 +164,14 @@ def propagate(
     the scan, so switching flips the pinned goldens — kept opt-in until
     that regeneration is done consciously (f32 only; TPU only).
     """
+    if backend == "auto":
+        # the fused kernel is TPU-only (Mosaic); everywhere else —
+        # including the CPU test mesh, whose goldens and fused-vs-host
+        # bitwise gates are recorded against the scan — keep the scan.
+        # On TPU the kernel's ~1e-9-per-period deviation only shifts
+        # device-side trajectories (platforms already differ at that
+        # level) and buys back ~1.5 ms of every closed-loop step.
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
     if backend == "pallas":
         from . import pallas_kernels
 
