@@ -768,7 +768,18 @@ def solve_ocp_qp(
         a_s = jnp.minimum(1.0, jnp.min(neg(ds, s)))
         a_l = jnp.minimum(1.0, jnp.min(neg(dlam, lam)))
 
-        upd = ~converged_now
+        # non-finite step guard (same containment as the dense solve_qp /
+        # solve_qp_batch / solve_qp_nl paths): if the TV-LQR Riccati sweep
+        # emits NaN/inf (ill-conditioned barrier-augmented stage cost in
+        # f32), freeze the iterate for this step instead of poisoning it —
+        # the caller gets the last finite point with converged=False.
+        ok = (
+            jnp.all(jnp.isfinite(dX))
+            & jnp.all(jnp.isfinite(dU))
+            & jnp.all(jnp.isfinite(ds))
+            & jnp.all(jnp.isfinite(dlam))
+        )
+        upd = (~converged_now) & ok
         X = jnp.where(upd, X + a_s * dX, X)
         U = jnp.where(upd, U + a_s * dU, U)
         s = jnp.where(upd, s + a_s * ds, s)
