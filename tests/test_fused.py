@@ -134,7 +134,9 @@ def test_fused_ilqr_matches_host_loop():
     ego.set_state_curvilinear(np.zeros(X_DIM))
     ego.set_state_global(np.zeros(X_DIM))
     ego.start_logging()
-    policy = policies.iLQRRacing(ilqr_param, sysp)
+    # cold host policy to match the cold fused rollout (warm starting is
+    # the policy default since r5; this parity pair pins the cold path)
+    policy = policies.iLQRRacing(ilqr_param, sysp, warm_start=False)
     policy.set_timestep(0.1)
     policy.set_track(track)
     ego.set_ctrl_policy(policy)
@@ -162,7 +164,8 @@ def test_fused_ilqr_matches_host_loop():
 
 
 def test_fused_ilqr_warm_start_passes_blocking_car():
-    """Opt-in shift-warm-started iLQR (warm_start=True): the solver keeps
+    """Shift-warm-started iLQR (warm_start=True, the policy default since
+    r5): the solver keeps
     momentum and lands in the PASSING local optimum instead of settling
     behind the blocking car — collision-free by the box metric, faster
     than the leader, and identical between the host policy and the fused

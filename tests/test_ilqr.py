@@ -10,7 +10,7 @@ from car_racing_tpu.utils import params
 from car_racing_tpu.utils.constants import X_DIM
 
 
-def run_ilqr_sim(obs_s_coef, obs_ey_coef, sim_time=15.0):
+def run_ilqr_sim(obs_s_coef, obs_ey_coef, sim_time=15.0, warm_start=True):
     spec = np.genfromtxt("data/track_layout/ellipse.csv", delimiter=",")
     track = track_ops.build_track(spec, width=1.0)
     ego = vehicles.DynamicBicycleModel(name="ego", system_param=params.SystemParam.default())
@@ -19,7 +19,9 @@ def run_ilqr_sim(obs_s_coef, obs_ey_coef, sim_time=15.0):
     ego.set_state_global(np.zeros(X_DIM))
     ego.start_logging()
     ilqr_param = params.ILQRParam.default(vt=0.8)
-    policy = policies.iLQRRacing(ilqr_param, params.SystemParam.default())
+    policy = policies.iLQRRacing(
+        ilqr_param, params.SystemParam.default(), warm_start=warm_start
+    )
     policy.set_timestep(0.1)
     policy.set_track(track)
     ego.set_ctrl_policy(policy)
@@ -50,10 +52,13 @@ def test_ilqr_tracks_with_clear_road():
 
 
 def test_ilqr_follows_blocking_car_without_collision():
-    """Slow car in the ego's lane: the CBF repelling cost makes the ego
-    brake and follow at the leader's speed (no overtake logic in the
-    reference's iLQR — control.py:64-195 only repels)."""
-    sim, track, ego = run_ilqr_sim([0.2, 5.0], [0.0, 0.1])
+    """Slow car in the ego's lane, COLD solves (warm_start=False): the CBF
+    repelling cost makes the ego brake and follow at the leader's speed (no
+    overtake logic in the reference's iLQR — control.py:64-195 only repels;
+    cold zero-init pins that reference behavior).  The default warm-started
+    config instead finds the passing optimum — covered by
+    tests/test_fused.py::test_fused_ilqr_warm_start_passes_blocking_car."""
+    sim, track, ego = run_ilqr_sim([0.2, 5.0], [0.0, 0.1], warm_start=False)
     traj = sim.full_trajectory("ego")
     tail = traj[len(traj) // 2 :]
     # settles near the leader's speed, never crawls to a stop
