@@ -154,15 +154,18 @@ def propagate(
     agreement and the pinned goldens; throughput paths with no host twin
     (the racing-game fleet) opt in.
 
-    ``backend="pallas"`` (opt-in) runs the whole period as ONE Pallas
-    kernel (ops/pallas_kernels.propagate_fused): slope-measured on v5e at
-    0.193 ms vs the scan's 1.689 ms per 100-substep period (8.8x) — the
-    scan's cost is per-launch latency of its ~dozen tiny kernels per
-    substep, roughly HALF of every closed-loop step.  Numerically
-    equivalent (max |diff| ~1e-9 over a full period; in-kernel atan since
-    Mosaic lowers neither atan nor atan2) but NOT bitwise identical to
-    the scan, so switching flips the pinned goldens — kept opt-in until
-    that regeneration is done consciously (f32 only; TPU only).
+    ``backend``: ``"auto"`` (the default) selects ``"pallas"`` on TPU and
+    ``"scan"`` everywhere else.  ``"pallas"`` runs the whole period as ONE
+    Pallas kernel (ops/pallas_kernels.propagate_fused): slope-measured on
+    v5e at 0.193 ms vs the scan's 1.689 ms per 100-substep period (8.8x) —
+    the scan's cost is per-launch latency of its ~dozen tiny kernels per
+    substep, roughly HALF of every closed-loop step.  The kernel is
+    numerically equivalent (max |diff| ~1e-9 over a full period; in-kernel
+    atan2 since Mosaic lowers neither atan nor atan2) but NOT bitwise
+    identical to the scan, so the CPU goldens and fused-vs-host bitwise
+    gates — all recorded against the scan — certify the scan path, while
+    tests/test_tpu_native.py (run by the bench harness on real TPU) gates
+    the fused-kernel path against them (f32 only; TPU only).
     """
     if backend == "auto":
         # the fused kernel is TPU-only (Mosaic); everywhere else —

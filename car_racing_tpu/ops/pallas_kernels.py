@@ -261,12 +261,14 @@ def solve_multi_batched(A: jax.Array, Brhs: jax.Array) -> jax.Array:
 # segment table sits in VMEM lanes, and the curvature lookup replicates
 # track.curvature's first-match argmax semantics with lane reductions.
 #
-# OPT-IN (dynamics.propagate(backend="pallas")): Mosaic's transcendental
+# TPU DEFAULT since r4 (dynamics.propagate(backend="auto") resolves here on
+# TPU; everywhere else it resolves to the scan).  Mosaic's transcendental
 # lowerings (sin/cos/arctan) differ from XLA's in the last ulps, so this
 # backend is numerically equivalent but NOT bitwise identical to the scan
-# path — switching it on moves the pinned goldens.  It is wired, tested for
-# closed-loop equivalence (tests/test_pallas_kernels.py), and measured;
-# flipping the default is a conscious golden-regeneration decision.
+# path — the pinned CPU goldens certify the scan path, and the TPU-gated
+# tier (tests/test_tpu_native.py, executed by the bench harness on real
+# silicon) certifies this kernel against the scan with asserted deviation
+# bounds per control period and over whole closed-loop laps.
 # ---------------------------------------------------------------------------
 
 _LANES = 128
@@ -322,21 +324,38 @@ def _prop_kernel_body(n_sub: int, sub_dt: float):
             ))
             return 8.0 * p
 
+        def atan2(y, x):
+            # Mosaic has no atan2 lowering: atan(y/x) with the standard
+            # sign/pi quadrant correction for x < 0 (and a signed tiny
+            # floor on x so y/x saturates instead of dividing by zero).
+            # Matches the scan path's jnp.arctan2 for hard-braking /
+            # perturbed states where vx dips negative (ADVICE r4).
+            x_s = jnp.where(
+                x >= 0.0,
+                jnp.maximum(x, jnp.float32(1e-30)),
+                jnp.minimum(x, jnp.float32(-1e-30)),
+            )
+            base = atan(y / x_s)
+            pi = jnp.float32(3.14159265358979)
+            corr = jnp.where(
+                x < 0.0, jnp.where(y >= 0.0, pi, -pi), jnp.float32(0.0)
+            )
+            return base + corr
+
         def substep(_, carry):
             vx, vy, wz, epsi, s, ey, psi, X, Y = carry
-            # curvature: first-match segment (track.curvature semantics)
+            # curvature: first-match segment (track.curvature semantics);
+            # no-match falls back to lane 0 exactly like the scan path's
+            # argmax-over-all-False (unreachable while segments tile the
+            # lap, but divergence-free if a gapped track ever appears)
             s_w = s - jnp.floor(s / lap_len) * lap_len
             inside = (s_w >= s0_row) & (s_w < hi_row)
             first = jnp.min(jnp.where(inside, lane, jnp.float32(_LANES)))
+            first = jnp.where(first >= jnp.float32(_LANES), jnp.float32(0.0), first)
             curv = jnp.sum(jnp.where(lane == first, curv_row, 0.0))
 
-            # Mosaic has no atan2 lowering; for this model vx >= 0
-            # always (forward driving), where atan2(y, x) == atan(y/x)
-            # up to the x ~ 0 limit, which the tiny floor preserves
-            # (y/1e-30 saturates, atan -> +-pi/2)
-            x_safe = jnp.maximum(vx, jnp.float32(1e-30))
-            alpha_f = delta - atan((vy + lf * wz) / x_safe)
-            alpha_r = -atan((vy - lr * wz) / x_safe)
+            alpha_f = delta - atan2(vy + lf * wz, vx)
+            alpha_r = -atan2(vy - lr * wz, vx)
             Fyf = 2.0 * Df * jnp.sin(Cf * atan(Bf * alpha_f))
             Fyr = 2.0 * Dr * jnp.sin(Cr * atan(Br * alpha_r))
             dvx = a - Fyf * sin_d / m + wz * vy

@@ -58,9 +58,10 @@ def test_batch_padding_path():
 
 def test_propagate_fused_matches_scan():
     """The fused Pallas control-period integrator (interpret mode on CPU)
-    must track the lax.scan reference bitwise-in-interpret / to ~1e-9 on
-    TPU (the opt-in backend of dynamics.propagate; see its docstring for
-    the measured 8.8x and the golden-flip caveat)."""
+    must track the lax.scan reference to ~1e-6 (this kernel is what
+    dynamics.propagate(backend="auto") ships ON TPU since r4; the
+    non-interpret on-device gate is tests/test_tpu_native.py, executed by
+    the bench harness on real silicon)."""
     import numpy as np
     import jax
 
@@ -87,3 +88,38 @@ def test_propagate_fused_matches_scan():
         np.testing.assert_allclose(np.asarray(xg2), np.asarray(xg1), atol=2e-6)
     # the dispatch flag routes to the same kernel (compiled path is
     # TPU-only; interpret keeps this testable on the CPU mesh)
+
+
+def test_propagate_fused_negative_vx_matches_scan():
+    """The in-kernel atan2 carries the x<0 quadrant correction (ADVICE r4:
+    the old atan(y/max(vx,eps)) silently saturated at +-pi/2 for vx<0):
+    hard-braking / perturbed standing starts with NEGATIVE vx must track
+    the scan path's jnp.arctan2 dynamics, not diverge qualitatively."""
+    import jax
+
+    from car_racing_tpu.ops import dynamics, pallas_kernels, track as track_ops
+
+    f32 = jnp.float32
+    cast = lambda t: jax.tree.map(lambda a: jnp.asarray(a, f32), t)
+    track = cast(track_ops.load_track("l_shape", width=1.0))
+    bike = cast(dynamics.BicycleParams.default())
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        xc = jnp.asarray(
+            np.array([-0.15, 0.02, 0.05, 0.01, 3.0, 0.05])
+            + rng.standard_normal(6) * np.array([0.1, 0.02, 0.05, 0.05, 2.0, 0.1]),
+            f32,
+        )
+        assert float(xc[0]) < 0.0  # the branch under test
+        xg = jnp.asarray(rng.standard_normal(6), f32)
+        u = jnp.asarray([0.02, -0.5], f32)  # braking
+        # short period: backward-rolling dynamics are unstable, so compare
+        # before the trajectories exponentially separate from f32 noise
+        xg1, xc1 = dynamics.propagate(
+            track, bike, xg, xc, u, control_dt=0.02, backend="scan"
+        )
+        xg2, xc2 = pallas_kernels.propagate_fused(
+            track, bike, xg, xc, u, control_dt=0.02, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(xc2), np.asarray(xc1), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(xg2), np.asarray(xg1), atol=5e-5)
