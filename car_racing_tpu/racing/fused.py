@@ -255,7 +255,7 @@ def rollout_ilqr(
     return xcurvs, us, its
 
 
-@partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt"))
+@partial(jax.jit, static_argnames=("n_steps", "control_dt", "sub_dt", "dynamics_backend"))
 @_highp
 def rollout_lmpc_lap(
     track: track_ops.Track,
@@ -278,8 +278,13 @@ def rollout_lmpc_lap(
     n_steps: int = 400,
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
+    dynamics_backend: str = "auto",
 ):
     """One full LMPC learning lap entirely on-device.
+
+    ``dynamics_backend`` is forwarded to dynamics.propagate — the TPU gate
+    (tests/test_tpu_native.py) uses it to run the SAME closed lap with the
+    scan integrator vs the fused Pallas kernel on real silicon.
 
     The safe-set arrays live in the scan carry: every step runs the local
     regression (kernel-weighted batched linear solves), safe-set point
@@ -355,7 +360,8 @@ def rollout_lmpc_lap(
         u = U[0]
 
         xglob_next, xcurv_next = dynamics.propagate(
-            track, bike_params, xglob, xcurv, u, control_dt=control_dt, sub_dt=sub_dt
+            track, bike_params, xglob, xcurv, u, control_dt=control_dt,
+            sub_dt=sub_dt, backend=dynamics_backend,
         )
         done_next = done | (xcurv_next[4] >= L)
 

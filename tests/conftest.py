@@ -4,20 +4,30 @@ Mirrors SURVEY.md §4's implication: the reference has no multi-node tests;
 we test pod behavior without a pod by forcing the host platform to expose 8
 virtual devices.  float64 is enabled so numeric parity tests can compare
 against high-precision references.
+
+TPU-gated tier escape hatch: setting ``CAR_RACING_TPU_TEST_PLATFORM=tpu``
+keeps the ambient platform (the axon TPU tunnel) instead of forcing CPU —
+that is how the bench harness runs tests/test_tpu_native.py on real
+silicon (the shipped Pallas-default numerics path has its own gates
+there; VERDICT r4 weak #1).  No x64 in that mode: v5e has no f64 linalg.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # ambient env points at TPU ('axon')
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_TEST_PLATFORM = os.environ.get("CAR_RACING_TPU_TEST_PLATFORM", "cpu")
+
+if _TEST_PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"  # ambient env points at TPU ('axon')
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-# the axon plugin ignores JAX_PLATFORMS; the config knob wins
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if _TEST_PLATFORM == "cpu":
+    # the axon plugin ignores JAX_PLATFORMS; the config knob wins
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
