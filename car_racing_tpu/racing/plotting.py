@@ -2,8 +2,10 @@
 
 Headless-friendly: every function takes/creates matplotlib figures and can
 save to a path instead of showing.  The racing-game animation renders the
-two-pane view (full track + ego-centered zoom with planner overlays:
-corridors, Bezier splines, LMPC / CBF predictions) like offboard.py:268-623.
+two-pane view (full track + ego-centered zoom with planner overlays) like
+offboard.py:268-623 at full overlay fidelity: LMPC / CBF predictions in
+the track pane, and in the zoom pane EVERY branch's Bezier spline and
+candidate trajectory with the selected branch highlighted on top.
 """
 
 from __future__ import annotations
@@ -94,15 +96,32 @@ def _vehicle_vertices(x, y, psi, l, w):
     )
 
 
-def animate(sim, filename="simulation", ani_time=400, racing_game=False,
-            save_dir="media/animation", fps=10):
-    """Render an animation gif of the last ``ani_time`` steps
-    (reference offboard.py:268-623, simplified overlays)."""
-    import os
+def _branch_count(ego, n_frames):
+    """Max branch count across the logged all-branch planner artifacts."""
+    n_br = 0
+    for arr in list(ego.all_splines[-n_frames:]) + list(ego.all_local_trajs[-n_frames:]):
+        if arr is not None:
+            n_br = max(n_br, np.asarray(arr).shape[0])
+    return n_br
 
-    os.makedirs(save_dir, exist_ok=True)
+
+def build_animation(sim, ani_time=400, racing_game=False):
+    """Build the animation figure + per-frame update function (split from
+    :func:`animate` so tests can drive frames and inspect the artists).
+
+    Racing-game mode renders the reference's two-pane view
+    (offboard.py:268-623) INCLUDING the all-branch overlays: every
+    corridor's Bezier spline and candidate trajectory (logged in
+    ``ego.all_splines`` / ``ego.all_local_trajs``) is drawn in the zoom
+    pane with the selected branch highlighted by the thick orange
+    trajectory / black spline on top — matching the reference's
+    ``all_local_spline`` / ``all_local_traj`` artist lists.
+
+    Returns (fig, update, n_frames, artists) where artists maps
+    'branch_splines'/'branch_trajs' to the per-branch Line2D lists."""
     ego = sim.vehicles["ego"]
     n_frames = min(ani_time, len(ego.xglob_log))
+    artists = {}
 
     if racing_game:
         fig = plt.figure(figsize=(10, 4))
@@ -111,10 +130,28 @@ def animate(sim, filename="simulation", ani_time=400, racing_game=False,
         ax1.set_xticks([])
         ax1.set_yticks([])
         plot_track(ax1, sim.track, center_line=False)
-        (local_line,) = ax1.plot([], [], color="orange", linewidth=4)
-        (spline_line,) = ax1.plot([], [], "-.", color="black", linewidth=1.5)
+        # every branch's spline + candidate trajectory (reference
+        # offboard.py:288-296 builds one artist pair per vehicle+1)
+        n_br = _branch_count(ego, n_frames)
+        cmap = plt.get_cmap("tab10")
+        branch_splines, branch_trajs = [], []
+        for br in range(n_br):
+            (bs,) = ax1.plot([], [], "-.", color=cmap(br % 10), linewidth=0.8,
+                             alpha=0.7, zorder=4)
+            (bt,) = ax1.plot([], [], "-", color=cmap(br % 10), linewidth=1.0,
+                             alpha=0.7, zorder=5)
+            branch_splines.append(bs)
+            branch_trajs.append(bt)
+        (local_line,) = ax1.plot([], [], color="orange", linewidth=4, zorder=6)
+        (spline_line,) = ax1.plot([], [], "-.", color="black", linewidth=1.5, zorder=7)
         (lmpc_line,) = ax.plot([], [], color="purple", linewidth=2)
         (cbf_line,) = ax.plot([], [], color="slategray", linewidth=2)
+        artists = {
+            "branch_splines": branch_splines,
+            "branch_trajs": branch_trajs,
+            "selected_traj": local_line,
+            "selected_spline": spline_line,
+        }
     else:
         fig, ax = plt.subplots()
     plot_track(ax, sim.track, center_line=False)
@@ -140,7 +177,12 @@ def animate(sim, filename="simulation", ani_time=400, racing_game=False,
         "spline": [x for x in ego.splines[-n_frames:]],
         "lmpc": [x for x in ego.lmpc_prediction[-n_frames:]],
         "cbf": [x for x in ego.mpc_cbf_prediction[-n_frames:]],
+        "all_splines": [x for x in ego.all_splines[-n_frames:]],
+        "all_trajs": [x for x in ego.all_local_trajs[-n_frames:]],
     } if racing_game else None
+
+    def set_line(line, arr):
+        line.set_data(*(arr[:, 4], arr[:, 5]) if arr is not None else ([], []))
 
     def update(i):
         for name, poly in polys.items():
@@ -159,16 +201,28 @@ def animate(sim, filename="simulation", ani_time=400, racing_game=False,
             pad = len(trajs["ego"]) - len(ego_arts["local"])
             j = i - pad
             if 0 <= j < len(ego_arts["local"]):
-                lt = ego_arts["local"][j]
-                local_line.set_data(*(lt[:, 4], lt[:, 5]) if lt is not None else ([], []))
-                sp = ego_arts["spline"][j]
-                spline_line.set_data(*(sp[:, 4], sp[:, 5]) if sp is not None else ([], []))
-                lp = ego_arts["lmpc"][j]
-                lmpc_line.set_data(*(lp[:, 4], lp[:, 5]) if lp is not None else ([], []))
-                cp = ego_arts["cbf"][j]
-                cbf_line.set_data(*(cp[:, 4], cp[:, 5]) if cp is not None else ([], []))
+                set_line(local_line, ego_arts["local"][j])
+                set_line(spline_line, ego_arts["spline"][j])
+                set_line(lmpc_line, ego_arts["lmpc"][j])
+                set_line(cbf_line, ego_arts["cbf"][j])
+                alls = ego_arts["all_splines"][j]
+                allt = ego_arts["all_trajs"][j]
+                for br, (bs, bt) in enumerate(zip(branch_splines, branch_trajs)):
+                    set_line(bs, alls[br] if alls is not None and br < len(alls) else None)
+                    set_line(bt, allt[br] if allt is not None and br < len(allt) else None)
         return list(polys.values())
 
+    return fig, update, n_frames, artists
+
+
+def animate(sim, filename="simulation", ani_time=400, racing_game=False,
+            save_dir="media/animation", fps=10):
+    """Render an animation gif of the last ``ani_time`` steps (reference
+    offboard.py:268-623, incl. the all-branch spline/trajectory overlays)."""
+    import os
+
+    os.makedirs(save_dir, exist_ok=True)
+    fig, update, n_frames, _ = build_animation(sim, ani_time, racing_game)
     media = anim.FuncAnimation(fig, update, frames=n_frames, interval=1000 // fps)
     out_path = os.path.join(save_dir, filename + ".gif")
     media.save(out_path, dpi=80, writer=anim.PillowWriter(fps=fps))
