@@ -122,14 +122,25 @@ def _run_tpu_native_gate():
     import subprocess
 
     env = dict(os.environ, CAR_RACING_TPU_TEST_PLATFORM="tpu")
+    # NOTE: no extra -q here — pyproject addopts already passes -q, and a
+    # second one (-qq) suppresses the final "N passed" summary line this
+    # parser needs (observed: gate reported 0 passed while all tests ran)
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_tpu_native.py", "-q",
+        [sys.executable, "-m", "pytest", "tests/test_tpu_native.py",
          "--no-header", "-p", "no:cacheprovider"],
         env=env, capture_output=True, text=True, timeout=2400,
     )
     out = proc.stdout + proc.stderr
     passed = sum(int(m) for m in re.findall(r"(\d+) passed", out))
     skipped = sum(int(m) for m in re.findall(r"(\d+) skipped", out))
+    if proc.returncode == 0 and passed == 0 and skipped == 0:
+        # belt-and-braces: a gate that "succeeds" without running OR
+        # skipping anything is a harness/parsing bug (observed once via
+        # -qq summary suppression); surface the output instead of
+        # emitting a meaningless 0.  (All-skipped = off-TPU run: allowed,
+        # the skip count is emitted.)
+        print(out, file=sys.stderr, flush=True)
+        raise SystemExit("TPU-native gate reported zero tests — harness bug")
     if proc.returncode != 0:
         print(out, file=sys.stderr, flush=True)
     return passed, skipped, proc.returncode == 0

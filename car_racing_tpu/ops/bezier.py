@@ -46,6 +46,7 @@ def corridor_control_points(
     veh_width: jax.Array,
     optimal_traj_xcurv: jax.Array,  # (T, X_DIM) stored raceline
     prediction_factor: jax.Array,
+    num_active=None,
 ):
     """Control points for the num_veh+1 passing corridors
     (reference get_bezier_control_points, planner_helper.py:28-135).
@@ -55,9 +56,22 @@ def corridor_control_points(
     right of all.  Lap-wrap of the end point is handled exactly as the
     reference: when s3 < s0, s3 += lap_length and s1/s2 interpolate across
     the start line.  Returns (num_veh+1, 4, 2).
+
+    ``num_active`` (optional, may be a TRACED scalar) restricts the
+    corridor problem to the first ``num_active`` rows of ``veh_info`` —
+    the vehicles-of-interest subset, compacted to the front in ey-
+    descending order (overtake_traj_planner.py:70-92 builds corridors
+    only around the interest set).  Shapes stay static at num_veh+1
+    corridors; rows with index > num_active are finite garbage the
+    caller must mask out of branch selection.  Defaults to num_veh
+    (every row active — the host planner path, which sizes the arrays
+    to the interest set before calling).
     """
     dtype = xcurv_ego.dtype
     n_cor = num_veh + 1
+    if num_active is None:
+        num_active = num_veh
+    num_active = jnp.asarray(num_active)
     opt_s = optimal_traj_xcurv[:, 4]
     opt_ey = optimal_traj_xcurv[:, 5]
 
@@ -79,15 +93,21 @@ def corridor_control_points(
     ey0 = jnp.full((n_cor,), xcurv_ego[5], dtype)
 
     idx = jnp.arange(n_cor)
-    # mid control ey per corridor (planner_helper.py:98-119)
+    # mid control ey per corridor (planner_helper.py:98-119); the bottom
+    # vehicle is row num_active-1 (the last ACTIVE row), dynamic when the
+    # interest subset is
     ey_top = 0.8 * track_width - (-veh_info[0, 1] - 0.5 * veh_width) * 0.2
-    ey_bot = -0.8 * track_width + (veh_info[num_veh - 1, 1] - 0.5 * veh_width) * 0.2
-    below = jnp.clip(idx, 0, num_veh - 1)  # vehicle below corridor idx
-    above = jnp.clip(idx - 1, 0, num_veh - 1)  # vehicle above corridor idx
-    ey_mid_between = 0.7 * (veh_info[below, 1] + 0.5 * veh_width) + 0.3 * (
-        veh_info[above, 1] - 0.5 * veh_width
+    ey_bot = -0.8 * track_width + (
+        jnp.take(veh_info[:, 1], num_active - 1) - 0.5 * veh_width
+    ) * 0.2
+    below = jnp.clip(idx, 0, num_active - 1)  # vehicle below corridor idx
+    above = jnp.clip(idx - 1, 0, num_active - 1)  # vehicle above corridor idx
+    ey_mid_between = 0.7 * (jnp.take(veh_info[:, 1], below) + 0.5 * veh_width) + 0.3 * (
+        jnp.take(veh_info[:, 1], above) - 0.5 * veh_width
     )
-    ey_mid = jnp.where(idx == 0, ey_top, jnp.where(idx == num_veh, ey_bot, ey_mid_between))
+    ey_mid = jnp.where(
+        idx == 0, ey_top, jnp.where(idx == num_active, ey_bot, ey_mid_between)
+    )
 
     # terminal ey from the stored raceline, wrapped (planner_helper.py:121-134)
     s3_w = jnp.where(s3 >= lap_length, s3 - lap_length, s3)

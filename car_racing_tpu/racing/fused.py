@@ -596,7 +596,10 @@ def rollout_lmpc_learning(
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters", "dynamics_unroll"),
+    static_argnames=(
+        "n_steps", "control_dt", "sub_dt", "tracker_iters", "tracker_iters_cold",
+        "dynamics_unroll",
+    ),
 )
 @_highp
 def rollout_racing_game(
@@ -624,7 +627,8 @@ def rollout_racing_game(
     n_steps: int = 300,
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
-    tracker_iters: int = 20,
+    tracker_iters: int = 20,  # warm-step IPM iters (= policies.CBF_ITERS_WARM)
+    tracker_iters_cold: int = 40,  # episode-first cold solve (= CBF_ITERS_COLD)
     dynamics_unroll: int = 1,
 ):
     """The FLAGSHIP path fully fused: one on-device racing-game lap.
@@ -644,16 +648,26 @@ def rollout_racing_game(
     Prescribed traffic follows polynomial (s(t), ey(t)) schedules with
     constant ey, pre-sorted by ey (descending) by the caller — so the
     corridor ordering is static, the one host-side decision of the
-    reference planner that cannot be a runtime mask.  Every active obstacle
-    participates in the corridor problem whenever ANY obstacle is of
-    interest (the reference restricts to vehicles-of-interest; with the CI
-    traffic patterns these coincide during overtakes).
+    reference planner that cannot be a runtime mask.  The corridor
+    problem is restricted to the vehicles-of-interest subset exactly as
+    the host loop (and the reference, overtake_traj_planner.py:70-92):
+    the per-vehicle interest mask compacts active vehicles to the front
+    (stable argsort keeps the ey-descending order), branch count and
+    neighbor gates follow the ACTIVE count m as runtime masks over the
+    static n_veh+1 branches, and the CBF tracker sees the same
+    MAX_OBSTACLES-row zero-padded obstacle layout the host builds
+    (policies.py:565-581) with the host's cold/warm iteration split
+    (CBF_ITERS_COLD + warm=None on the first step of an episode via an
+    inner ``lax.cond``, CBF_ITERS_WARM + shifted primal-dual triple after) —
+    the fused lap is numerically identical to the host loop
+    (tests/test_fused.py::test_fused_racing_game_matches_host_loop).
 
     Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U),
     overtake_flags (n_steps,) bool, lap_steps).
     """
     from ..ops import lmpc_learning as _ll
     from ..planning import overtake as _ov
+    from .policies import MAX_OBSTACLES as _N_OBS
 
     N = lmpc_param.num_horizon
     Np = rg_param.num_horizon_planner
@@ -669,7 +683,6 @@ def rollout_racing_game(
     n_br = n_veh + 1
     veh_len, veh_wid = jnp.asarray(0.4, dtype), jnp.asarray(0.2, dtype)
     agent_half = jnp.stack([veh_len / 2, veh_wid / 2])
-    obs_halfs = jnp.broadcast_to(agent_half, (n_veh, 2))
     obs_vs = jax.vmap(jnp.polyder)(obs_s_coef)
     obs_vey = jax.vmap(jnp.polyder)(obs_ey_coef)
 
@@ -677,9 +690,13 @@ def rollout_racing_game(
     valid = jnp.stack([valid_prev2, valid_prev])
 
     z_warm_cold = jnp.zeros(n_u + K, dtype).at[n_u:].set(1.0 / K)
-    # cold-equivalent primal-dual triple for the tracker's CBF problem
-    nz_t = Nc * U_DIM + n_veh * (Nc + 1)
-    m_t = 2 * Nc * U_DIM + 4 * Nc + n_veh * (Nc + 1) + n_veh * Nc
+    # placeholder primal-dual triple carried while no overtake episode is
+    # live; the episode's FIRST tracker solve ignores it (warm=None cold
+    # path, exactly the host's _z_warm_ma = None protocol) and every
+    # later step carries the shifted triple.  Sized to the host tracker's
+    # MAX_OBSTACLES-row layout (policies.py:565-567).
+    nz_t = Nc * U_DIM + _N_OBS * (Nc + 1)
+    m_t = 2 * Nc * U_DIM + 4 * Nc + _N_OBS * (Nc + 1) + _N_OBS * Nc
     warm_ma_cold = (
         jnp.zeros(nz_t, dtype).at[Nc * U_DIM :].set(0.1),
         jnp.full((m_t,), 1.0, dtype),
@@ -696,7 +713,8 @@ def rollout_racing_game(
         return jnp.stack([vs, vey, zeros, zeros, s, ey], axis=2)
 
     def lmpc_branch(op):
-        x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir = op
+        (x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir,
+         _interest) = op
         curvs = track_ops.curvature_batch(track, jnp.mod(lin_points[:N, 4], L))
         A_tv, B_tv, C_tv = _ll.estimate_abc_horizon(
             lin_points[:N], lin_input[:N], jnp.stack([ss_prev2, ss1]), u_data,
@@ -720,20 +738,47 @@ def rollout_racing_game(
         )
 
     def overtake_branch(op):
-        x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir = op
-        obs_trajs = obs_forecast(t, Np)  # (n_veh, Np+1, X)
+        """The overtake step, restricted to the vehicles-of-interest
+        subset exactly as the host loop: compaction via stable argsort
+        keeps the ey-descending order, branch validity / neighbor gates
+        follow the active count m, the tracker sees the host's
+        MAX_OBSTACLES-row zero-padded obstacle layout.  The tracker solve
+        runs under an inner ``lax.cond``: the episode-first step takes
+        the host's COLD configuration (warm=None + the cold iteration
+        budget), later steps the shifted warm triple + the warm budget
+        (policies.py:600-601) — the corridor planner itself is computed
+        once, outside that cond, so vmapped fleets don't duplicate it."""
+        (x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir,
+         interest) = op
+        m = jnp.sum(interest)  # >= 1 on this branch
+        # active vehicles to the front; obstacles are pre-sorted by ey
+        # descending, so the compacted subset keeps that order (the
+        # host re-sorts the interest dict, overtake.py:337-340)
+        order = jnp.argsort(jnp.logical_not(interest), stable=True)
+        active = jnp.arange(n_veh) < m
+
+        obs_trajs = obs_forecast(t, Np)[order]  # (n_veh, Np+1, X) compacted
         veh_infos = jnp.stack(
-            [obs_trajs[:, 0, 4], obs_trajs[:, :, 5].max(axis=1), obs_trajs[:, :, 5].min(axis=1)],
+            [
+                obs_trajs[:, 0, 4],
+                obs_trajs[:, :, 5].max(axis=1),
+                obs_trajs[:, :, 5].min(axis=1),
+            ],
             axis=1,
         )
-        max_delta_v = jnp.max(jnp.abs(x[0] - obs_trajs[:, 0, 0]))
+        max_delta_v = jnp.max(
+            jnp.where(active, jnp.abs(x[0] - obs_trajs[:, 0, 0]), -jnp.inf)
+        )
         cp = bezier_mod.corridor_control_points(
             n_veh, x, veh_infos, max_delta_v, L, W, veh_wid,
             opti_traj_xcurv, rg_param.planning_prediction_factor,
+            num_active=m,
         )
         bez = bezier_mod.sample_corridors(cp, Np + 1)  # (n_br, Np+1, 2)
 
-        # neighbor rows + gates (planning/overtake.py get_local_traj)
+        # neighbor rows + gates (planning/overtake.py get_local_traj);
+        # the m+1 branches of the host problem are rows 0..m here,
+        # rows > m are finite garbage masked out of the selection
         s_pred = x[4] + jnp.arange(Np + 1, dtype=dtype) * control_dt * x[0]
         obs_s_w = jnp.mod(obs_trajs[:, :, 4], L)  # (n_veh, Np+1)
         obs_ey = obs_trajs[:, :, 5]
@@ -744,59 +789,84 @@ def rollout_racing_game(
         br = jnp.arange(n_br)
         li = jnp.clip(br - 1, 0, n_veh - 1)
         ri = jnp.clip(br, 0, n_veh - 1)
+        br_valid = br <= m
+        left_valid = (br >= 1) & br_valid
+        right_valid = br < m
         left_ey = obs_ey[li]
-        left_gate = gate_of[li] & (br >= 1)[:, None]
+        left_gate = gate_of[li] & left_valid[:, None]
         right_ey = obs_ey[ri]
-        right_gate = gate_of[ri] & (br < n_veh)[:, None]
+        right_gate = gate_of[ri] & right_valid[:, None]
 
         X_all, _, conv, _ = _ov._solve_branch_batch(
             x, rg_param.A, rg_param.B, W, veh_wid, bez,
-            left_ey[:, :Np], left_gate[:, :Np], right_ey[:, :Np], right_gate[:, :Np],
+            left_ey[:, :Np], left_gate[:, :Np],
+            right_ey[:, :Np], right_gate[:, :Np],
             num_horizon=Np,
         )
-        # kinematic fallback for unconverged branches (overtake_traj_planner.py:365-374)
-        stmp = x[4] + 1.1 * jnp.arange(Np + 1, dtype=dtype) * control_dt * x[0]
-
-        def kin_branch(bez_b):
-            sclip = jnp.clip(stmp, bez_b[0, 0], bez_b[-1, 0])
-            Xk = jnp.zeros((Np + 1, X_DIM), dtype)
-            Xk = Xk.at[:, 0].set(1.1 * x[0])
-            Xk = Xk.at[:, 4].set(stmp)
-            return Xk.at[:, 5].set(jnp.interp(sclip, bez_b[:, 0], bez_b[:, 1]))
-
-        X_kin = jax.vmap(kin_branch)(bez)
+        # kinematic fallback for unconverged branches
+        # (overtake_traj_planner.py:365-374)
+        X_kin = jax.vmap(
+            lambda bez_b: _ov.kinematic_fallback_traj(x, bez_b, Np, dt=control_dt)
+        )(bez)
         X_all = jnp.where(conv[:, None, None], X_all, X_kin)
 
-        # branch selection (overtake_traj_planner.py:205-244)
-        cost_sel = -10.0 * (X_all[:, -1, 4] - X_all[:, 0, 4])
-        ds = X_all[:, None, :, 4] - obs_s_w[None]  # (n_br, n_veh, Np+1)
-        dey = X_all[:, None, :, 5] - obs_ey[None]
-        viol = (ds**2 + dey**2 - veh_len**2 - veh_wid**2 < 0.0).sum(axis=2)  # (n_br, n_veh)
-        is_side = ((jnp.arange(n_veh)[None] == (br - 1)[:, None]) & (br >= 1)[:, None]) | (
-            (jnp.arange(n_veh)[None] == br[:, None]) & (br < n_veh)[:, None]
+        # branch selection through the SHARED cost the host path uses
+        # (overtake_traj_planner.py:205-244); invalid branches -> +inf
+        cost_sel = jax.vmap(
+            lambda Xb, ls, le, rs, re, lv, rv, b: _ov.branch_selection_cost(
+                Xb, ls, le, rs, re, lv, rv, veh_len, veh_wid, old_dir, b
+            )
+        )(
+            X_all, obs_s_w[li], obs_ey[li], obs_s_w[ri], obs_ey[ri],
+            left_valid, right_valid, br.astype(jnp.int32),
         )
-        cost_sel = cost_sel + 100.0 * jnp.sum(jnp.where(is_side, viol, 0), axis=1)
-        cost_sel = cost_sel + jnp.where(
-            (old_dir >= 0) & (br != old_dir), 100.0, 0.0
-        )
+        cost_sel = jnp.where(br_valid, cost_sel, jnp.inf)
         direction = jnp.argmin(cost_sel)
         target = X_all[direction]  # (Np+1, X)
 
-        # multi-agent CBF tracker on the planned trajectory (policies.py)
+        # multi-agent CBF tracker on the planned trajectory, on the
+        # host's MAX_OBSTACLES-row layout (policies.py:556-604):
+        # interest rows compacted to the front, zero rows + unit
+        # half-dims beyond, mask = active & gate
         s_stage = jnp.clip(
             x[0] * control_dt * jnp.arange(1, Nc + 1, dtype=dtype) + x[4],
             target[0, 4], target[-1, 4],
         )
         ey_t = jnp.interp(s_stage, target[:, 4], target[:, 5])
-        x_targets = jnp.zeros((Nc, X_DIM), dtype).at[:, 0].set(x[0]).at[:, 5].set(ey_t)
-        obs_trajs_c = obs_forecast(t, Nc)
-        gate = controllers.obstacle_gate_mask(x, obs_trajs_c[:, 0, 4], L)
-        u0, U, Xp, sol = controllers.mpc_multi_agents(
-            x, x_targets, rg_param.A, rg_param.B, rg_param.Q, rg_param.R,
-            sys_param, W, obs_trajs_c, gate, agent_half, obs_halfs, L,
-            warm=warm_ma, iters=tracker_iters,
+        x_targets = (
+            jnp.zeros((Nc, X_DIM), dtype).at[:, 0].set(x[0]).at[:, 5].set(ey_t)
         )
-        warm_ma_next = controllers.shift_cbf_warm(sol, Nc, n_veh)
+        obs_fc = obs_forecast(t, Nc)[order]  # (n_veh, Nc+1, X) compacted
+        row = jnp.arange(_N_OBS)
+        row_active = row < m
+        obs_tr = jnp.where(
+            row_active[:, None, None],
+            obs_fc[jnp.clip(row, 0, n_veh - 1)],
+            0.0,
+        )
+        obs_halfs_t = jnp.where(row_active[:, None], agent_half[None], 1.0)
+        gate = controllers.obstacle_gate_mask(x, obs_tr[:, 0, 4], L)
+
+        def solve_tracker(cold: bool, wm):
+            u0, U, Xp, sol = controllers.mpc_multi_agents(
+                x, x_targets, rg_param.A, rg_param.B, rg_param.Q, rg_param.R,
+                sys_param, W, obs_tr, row_active & gate, agent_half,
+                obs_halfs_t, L,
+                warm=None if cold else wm,
+                iters=tracker_iters_cold if cold else tracker_iters,
+            )
+            return u0, U, Xp, controllers.shift_cbf_warm(sol, Nc, _N_OBS)
+
+        # episode-first step: the host's _z_warm_ma is None and it solves
+        # COLD with the cold iteration budget (policies.py:600-601); after
+        # that the shifted primal-dual triple + warm budget.  old_dir < 0
+        # exactly tracks "episode not live" (both reset on the LMPC branch).
+        u0, U, Xp, warm_ma_next = jax.lax.cond(
+            old_dir >= 0,
+            lambda wm: solve_tracker(False, wm),
+            lambda wm: solve_tracker(True, wm),
+            warm_ma,
+        )
         lin_points_next = jnp.concatenate([Xp[1:], Xp[-1:]], axis=0)
         lin_input_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
         pad_p = N + 1 - lin_points_next.shape[0]
@@ -807,13 +877,15 @@ def rollout_racing_game(
         lin_input_next = jnp.concatenate(
             [lin_input_next] + [lin_input_next[-1:]] * pad_u, axis=0
         )
-        # u_prev (the LMPC input-rate anchor) and the LMPC warm start are NOT
-        # advanced during overtakes (host: u_pred/_z_warm only set on the
-        # LMPC branch; _z_warm invalidated -> cold restart after the episode)
+        # u_prev (the LMPC input-rate anchor) and the LMPC warm start are
+        # NOT advanced during overtakes (host: u_pred/_z_warm only set on
+        # the LMPC branch; _z_warm invalidated -> cold restart after the
+        # episode)
         return (
             u0, lin_points_next, lin_input_next, u_prev, z_warm_cold,
             warm_ma_next, direction.astype(jnp.int32),
         )
+
 
     def step(carry, k):
         (xcurv, xglob, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma,
@@ -837,7 +909,10 @@ def rollout_racing_game(
         )
         overtake = jnp.any(interest)
 
-        op = (x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir)
+        op = (
+            x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir,
+            interest,
+        )
         (u, lin_points_n, lin_input_n, u_prev_n, z_warm_n, warm_ma_n, old_dir_n) = (
             jax.lax.cond(overtake, overtake_branch, lmpc_branch, op)
         )
@@ -880,7 +955,10 @@ def rollout_racing_game(
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "control_dt", "sub_dt", "tracker_iters", "dynamics_unroll"),
+    static_argnames=(
+        "n_steps", "control_dt", "sub_dt", "tracker_iters", "tracker_iters_cold",
+        "dynamics_unroll",
+    ),
 )
 @_highp
 def rollout_racing_game_batch(
@@ -890,7 +968,7 @@ def rollout_racing_game_batch(
     u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
     lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
     n_steps: int = 300, control_dt: float = 0.1, sub_dt: float = 0.001,
-    tracker_iters: int = 20, dynamics_unroll: int = 1,
+    tracker_iters: int = 20, tracker_iters_cold: int = 40, dynamics_unroll: int = 1,
 ):
     """vmap of :func:`rollout_racing_game` over a batch of initial states —
     a fleet of simultaneous racing games on one chip (scenario DP on the
@@ -912,7 +990,8 @@ def rollout_racing_game_batch(
         u_prev_lap, u_prev2_lap, valid_prev, valid_prev2, counter,
         lin_points0, lin_input0, obs_s_coef, obs_ey_coef, opti_traj_xcurv,
         n_steps=n_steps, control_dt=control_dt, sub_dt=sub_dt,
-        tracker_iters=tracker_iters, dynamics_unroll=dynamics_unroll,
+        tracker_iters=tracker_iters, tracker_iters_cold=tracker_iters_cold,
+        dynamics_unroll=dynamics_unroll,
     )
     return jax.vmap(fn)(xcurv0_batch, xglob0_batch)
 

@@ -502,16 +502,16 @@ def test_fused_racing_game_lap():
 
 def test_fused_racing_game_matches_host_loop():
     """Fused racing game vs the host LMPCRacingGame loop on the SAME seed
-    safe sets and traffic (VERDICT r2 missing #3).
+    safe sets and traffic (VERDICT r2 missing #3; exactness VERDICT r4
+    next #4).
 
-    Intended semantic deviations of the fused path (racing/fused.py
-    docstring): traffic is pre-sorted by ey and EVERY car joins the corridor
-    problem whenever ANY car is of interest, while the host restricts
-    corridors to the vehicles-of-interest subset; outside those windows the
-    two paths solve identical problems.  This test quantifies the resulting
-    divergence: both must complete the lap in nearly the same number of
-    steps, overtake, stay collision-free, and stay within a stated
-    trajectory tolerance."""
+    The fused path now solves the IDENTICAL per-step problems as the host
+    loop on every branch: the corridor problem is masked down to the
+    vehicles-of-interest subset (compacted, ey-descending), the tracker
+    uses the host's MAX_OBSTACLES padded layout and cold/warm iteration
+    protocol, and branch selection shares branch_selection_cost.  The
+    only remaining difference is floating-point accumulation order, so
+    the whole lap — overtake steps included — must agree to 1e-6."""
     import jax.numpy as jnp
 
     seed = np.load("data/bench/lmpc_seed_l_shape.npz")
@@ -594,9 +594,9 @@ def test_fused_racing_game_matches_host_loop():
     assert 0 < lap_steps < 300
     assert ot.any(), "fused loop never overtook"
 
-    # ---- quantified agreement ----------------------------------------------
-    # lap times nearly identical
-    assert abs(lap_steps - host_lap_steps) <= 5, (lap_steps, host_lap_steps)
+    # ---- exact agreement ---------------------------------------------------
+    # identical lap time
+    assert lap_steps == host_lap_steps, (lap_steps, host_lap_steps)
     # host xcurv_log[k] is the state AFTER step k; fused xc[k] the state
     # BEFORE step k — align with the one-step shift
     m = min(lap_steps, host_lap_steps)
@@ -605,20 +605,17 @@ def test_fused_racing_game_matches_host_loop():
     )
     dey = np.abs(xc[1 : m + 1, 5] - host_traj[:m, 5])
     dvx = np.abs(xc[1 : m + 1, 0] - host_traj[:m, 0])
-    # both dispatch onto the overtake branch at the SAME step
-    first_ot_host = int(np.nonzero(host_overtakes)[0][0])
-    first_ot_fused = int(np.nonzero(ot)[0][0])
-    assert first_ot_fused == first_ot_host, (first_ot_fused, first_ot_host)
-    # until that step the two paths solve IDENTICAL problems: exact match
-    # (measured: bitwise-equal for all 119 pure-LMPC steps of this seed)
-    k0 = min(first_ot_host, m)
-    assert ds[:k0].max() < 1e-6 and dey[:k0].max() < 1e-6 and dvx[:k0].max() < 1e-6
-    # through the overtake the corridor-set deviation (fused: all cars
-    # always; host: vehicles-of-interest only) displaces the maneuver by at
-    # most a fraction of a car length in s / a few cm in ey
-    assert ds.max() < 0.8, f"s diverged by {ds.max():.3f} m"
-    assert dey.max() < 0.15, f"ey diverged by {dey.max():.3f} m"
-    assert dvx.max() < 0.6, f"vx diverged by {dvx.max():.3f} m/s"
+    # both dispatch onto the overtake branch at the SAME steps — the
+    # vehicles-of-interest trigger and masking agree step by step
+    host_ot = host_overtakes[:m]
+    fused_ot = ot[:m]
+    np.testing.assert_array_equal(fused_ot, host_ot)
+    # the whole closed lap — LMPC steps AND overtake steps — agrees to
+    # 1e-6: both paths now solve bit-identical per-step problems; only
+    # accumulation order differs
+    assert ds.max() < 1e-6, f"s diverged by {ds.max():.2e} m"
+    assert dey.max() < 1e-6, f"ey diverged by {dey.max():.2e} m"
+    assert dvx.max() < 1e-6, f"vx diverged by {dvx.max():.2e} m/s"
 
 
 def test_fused_batch_rollout():
@@ -642,13 +639,20 @@ def test_fused_batch_rollout():
 
 
 def test_corridor_hold_prevents_mid_corner_graze():
-    """Opt-in mitigation for the characterized limitation (PARITY.md): on
-    m_shape with the l_shape traffic offsets the default corridor release
-    (reference-implicit hold of 0.15 m past bumper clearance) lets the
-    plan cut back across car1 while still alongside — superellipse
-    barrier dips to ~0.04.  Holding the corridor rows for 1.2 m
-    (RacingGameParam(corridor_hold=1.2)) keeps the episode collision-free
-    while still completing the lap with overtakes."""
+    """Safety regression pin for the once-characterized m_shape graze, plus
+    feature retention for the opt-in ``corridor_hold`` margin.
+
+    History (PARITY.md "Characterized behavioral limitations"): through
+    round 4 this scenario grazed car1 mid-corner with default params —
+    superellipse barrier dipped to ~0.04 — and the r4 diagnosis blamed
+    the reference's discrete-CBF decay.  The round-5 exactness fix
+    (corridor problem masked to the vehicles-of-interest subset, matching
+    the host loop and the reference) removed the ACTUAL cause: with the
+    far car no longer distorting the corridor mid-ey, the selected plan
+    stays wide until clear and the default-params episode is
+    collision-free by a wide margin (measured barrier ~108).  This test
+    pins that improved default behavior and keeps the corridor_hold knob
+    exercised (still useful defense-in-depth for other geometries)."""
     track = track_ops.load_track("m_shape", width=1.0)
     seed = np.load("data/bench/lmpc_seed_m_shape.npz")
     j = lambda k: jnp.asarray(seed[k])
@@ -682,8 +686,11 @@ def test_corridor_hold_prevents_mid_corner_graze():
 
     bar_default, ot_default, _ = run(params.RacingGameParam.default(alpha=0.8))
     assert ot_default > 0
-    assert bar_default < 1.0, (
-        "the characterized graze no longer reproduces — update PARITY.md"
+    assert bar_default > 1.0, (
+        f"the m_shape mid-corner graze is BACK (barrier {bar_default:.3f}); "
+        "the r5 vehicles-of-interest corridor masking eliminated it — a "
+        "regression here means the corridor problem is seeing non-interest "
+        "traffic again"
     )
 
     import dataclasses
@@ -693,7 +700,7 @@ def test_corridor_hold_prevents_mid_corner_graze():
     )
     bar_held, ot_held, ls_held = run(held)
     assert ot_held > 0, "held corridor must still overtake"
-    assert bar_held > 1.0, f"graze persists with corridor_hold=1.2 ({bar_held})"
+    assert bar_held > 1.0, f"corridor_hold=1.2 grazes ({bar_held})"
 
 
 def test_learning_protocol_other_layout():

@@ -77,7 +77,7 @@ def test_workers_agree_on_selection(mh_report):
 
 
 def test_multihost_artifact(mh_report, mh_report_4x1, repo_root):
-    """Record MULTIHOST_r04.json: the executable multi-process evidence
+    """Record MULTIHOST_r05.json: the executable multi-process evidence
     (both topologies) plus the DCN-aware analytic projection (one
     projection function shared with bench.py, fed the TPU-measured sweep
     latency from the committed bench artifact)."""
@@ -105,7 +105,7 @@ def test_multihost_artifact(mh_report, mh_report_4x1, repo_root):
         },
         "dcn_aware_projection": proj,
     }
-    with open(os.path.join(repo_root, "MULTIHOST_r04.json"), "w") as fh:
+    with open(os.path.join(repo_root, "MULTIHOST_r05.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     assert proj["multihost"]["projected_efficiency"] >= 0.8
