@@ -574,6 +574,15 @@ def test_fused_racing_game_matches_host_loop():
     assert host_lap_steps < 280, "host racing-game lap never completed"
     host_overtakes = np.asarray([x is not None for x in ego.local_trajs])
     assert host_overtakes.any(), "host loop never overtook"
+    # the lap must exercise MULTIPLE interest-subset sizes, otherwise the
+    # 1e-6 agreement below would not prove the fused path's
+    # vehicles-of-interest masking (a lap where every overtake step saw
+    # all cars would pass even with the pre-r5 all-traffic corridors)
+    interest_sizes = {len(v) for v in ego.vehicles_interest if v is not None}
+    assert len(interest_sizes) >= 2, (
+        f"only interest sizes {interest_sizes} seen — scenario no longer "
+        "stresses the subset masking; adjust the traffic pattern"
+    )
 
     # ---- fused rollout on the identical problem ----------------------------
     j = lambda k: jnp.asarray(seed[k])

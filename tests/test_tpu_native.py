@@ -173,6 +173,58 @@ def test_tpu_default_lap_matches_cpu_f32_reference():
     assert us_full[:, 1].min() > -1.01 and us_full[:, 1].max() < 1.01
 
 
+def test_racing_game_flagship_on_device(track_and_bike):
+    """The FLAGSHIP deployment path on real silicon with the shipped
+    defaults (backend='auto' -> Pallas integrator, lane-major Cholesky in
+    the batched corridor IPM): one fused racing-game lap against the CI
+    traffic must complete, beat the PID seed lap, dispatch real overtake
+    steps, stay on track, and stay collision-free vs both prescribed
+    cars.  The rest of the suite certifies this path on CPU only
+    (goldens + the 1e-6 host parity test run under the forced-CPU
+    conftest); this is the on-TPU behavioral gate for what production
+    actually runs."""
+    from car_racing_tpu.racing import fused
+    from car_racing_tpu.utils import params
+    from car_racing_tpu.utils.bench_fixtures import FIXTURE_PATH
+
+    track, bike = track_and_bike
+    seed = np.load(FIXTURE_PATH)
+    opti = jnp.asarray(
+        np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=","), f32
+    )
+    lmpc_param = _cast(params.LMPCParam.default())
+    rg_param = _cast(params.RacingGameParam.default(alpha=0.8))
+    sysp = _cast(params.SystemParam.default())
+    j = lambda k: jnp.asarray(seed[k], f32)
+    s_coef = np.array([[0.72, 7.5], [0.7, 5.5]])  # sorted by ey desc
+    ey_coef = np.array([[0.0, -0.2], [0.0, -0.5]])
+    n_steps = 250
+    xc, us, ot, lap_steps = fused.rollout_racing_game(
+        track, bike, lmpc_param, rg_param, sysp,
+        j("xcurv0"), j("xglob0"),
+        j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+        jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+        jnp.asarray(seed["counter"], jnp.int32),
+        j("lin_points0"), j("lin_input0"),
+        jnp.asarray(s_coef, f32), jnp.asarray(ey_coef, f32), opti,
+        n_steps=n_steps,
+    )
+    lap_steps = int(lap_steps)
+    xc = np.asarray(xc)
+    assert 0 < lap_steps < n_steps, f"TPU racing-game lap never completed ({lap_steps})"
+    assert lap_steps < int(seed["pid_lap_steps"]), "lap slower than the PID seed"
+    assert int(np.asarray(ot).sum()) > 0, "no overtake step ever dispatched"
+    assert np.isfinite(xc[: lap_steps + 1]).all()
+    assert float(np.abs(xc[: lap_steps + 1, 5]).max()) < 0.5  # half-width
+    L = float(np.asarray(track.lap_length))
+    t = np.arange(len(xc)) * 0.1
+    for cs, ce in zip(s_coef, ey_coef):
+        ds = np.abs(np.mod(xc[:, 4] - np.polyval(cs, t) + L / 2, L) - L / 2)
+        dey = np.abs(xc[:, 5] - np.polyval(ce, t))
+        hit = ((ds < 0.9 * 0.4) & (dey < 0.9 * 0.2))[: lap_steps + 1]
+        assert not hit.any(), f"collision with the {ce[1]}-lane car on TPU"
+
+
 @pytest.mark.parametrize("n,B", [(20, 256), (40, 256)])
 def test_pallas_cholesky_parity_on_device(n, B):
     """Non-interpret (Mosaic-compiled) lane-major Pallas Cholesky vs XLA's
