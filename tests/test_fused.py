@@ -712,6 +712,76 @@ def test_corridor_hold_prevents_mid_corner_graze():
     assert bar_held > 1.0, f"corridor_hold=1.2 grazes ({bar_held})"
 
 
+def test_fused_racing_game_three_cars():
+    """Corridor compaction beyond the CI pair: three prescribed cars on
+    staggered lanes (ey +0.15 / -0.15 / -0.45, s offsets 1.6 m and 0.8 m
+    apart) so the vehicles-of-interest subset sweeps sizes 1, 2 AND 3
+    during the lap — branch counts 2..4 of the static n_veh+1=4, with the
+    invalid tail masked.  The lap must complete faster than the PID seed,
+    dispatch overtake steps, stay inside the corridor ey bound, and stay
+    collision-free against every car."""
+    seed = np.load("data/bench/lmpc_seed_l_shape.npz")
+    spec = np.genfromtxt("data/track_layout/l_shape.csv", delimiter=",")
+    track = track_ops.build_track(spec, width=1.0)
+    opti = np.genfromtxt("data/optimal_traj/xcurv_l_shape.csv", delimiter=",")
+    j = lambda k: jnp.asarray(seed[k])
+    s_coef = np.array([[0.70, 7.0], [0.72, 6.2], [0.68, 5.4]])  # ey desc
+    ey_coef = np.array([[0.0, 0.15], [0.0, -0.15], [0.0, -0.45]])
+    L = float(track.lap_length)
+    rgp = params.RacingGameParam.default(alpha=0.8)
+    xc, us, ot, lap_steps = fused.rollout_racing_game(
+        track, dynamics.BicycleParams.default(), params.LMPCParam.default(),
+        rgp, params.SystemParam.default(), j("xcurv0"), j("xglob0"),
+        j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+        jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+        jnp.asarray(seed["counter"], jnp.int32),
+        j("lin_points0"), j("lin_input0"),
+        jnp.asarray(s_coef), jnp.asarray(ey_coef), jnp.asarray(opti),
+        n_steps=300,
+    )
+    ls = int(lap_steps)
+    xc = np.asarray(xc)
+    ot = np.asarray(ot)
+    assert 0 < ls < 300, "3-car racing-game lap never completed"
+    assert ls < int(seed["pid_lap_steps"])
+    assert ot[:ls].any(), "no overtake step ever triggered"
+    assert np.isfinite(xc[: ls + 1]).all()
+    # corridor ey bound (track_width - veh_width/2 = 0.9)
+    assert np.abs(xc[: ls + 1, 5]).max() < 0.9
+    t_all = np.arange(len(xc)) * 0.1
+    for cs, ce in zip(s_coef, ey_coef):
+        ds = np.abs(np.mod(xc[:, 4] - np.polyval(cs, t_all) + L / 2, L) - L / 2)
+        dey = np.abs(xc[:, 5] - np.polyval(ce, t_all))
+        assert not ((ds < 0.9 * 0.4) & (dey < 0.9 * 0.2))[: ls + 1].any(), (
+            f"collision with the ey={ce[1]} car"
+        )
+    # the scenario must exercise interest-subset sizes 1, 2 AND 3
+    # (recomputed with the same trigger formula the scan uses)
+    veh_len = 0.4
+    sizes = set()
+    for k in range(ls):
+        if not ot[k]:
+            continue
+        t = k * 0.1
+        s_e = xc[k, 4] % L
+        m = 0
+        for cs in s_coef:
+            s_a = np.polyval(cs, t) % L
+            dv = abs(xc[k, 0] - cs[0])
+            front = rgp.safety_factor * veh_len + rgp.planning_prediction_factor * dv
+            w = lambda d, lim: (d >= 0) and (d <= lim)
+            if (
+                w(s_a - s_e, front) or w(s_a + L - s_e, front)
+                or w(s_e - s_a, veh_len) or w(s_e + L - s_a, veh_len)
+            ):
+                m += 1
+        sizes.add(m)
+    assert {1, 2, 3} <= sizes, (
+        f"interest sizes seen {sizes} — retune the traffic so the masking "
+        "is exercised at every subset size"
+    )
+
+
 def test_learning_protocol_other_layout():
     """The protocol's auto-sizing claim ('runs unmodified on all four
     layouts') exercised beyond l_shape: a zero-to-learned run on ellipse —
