@@ -308,6 +308,8 @@ def _cbf_nlp(
     safety_margin,
     warm,  # None | (z, lam, s) previous primal-dual iterate
     iters: int,
+    warm_select=None,  # (use_warm traced bool, (z, lam, s)) runtime config
+    iters_warm: int | None = None,  # warm-side cap when warm_select is used
 ):
     """Shared CBF-constrained MPC core used by :func:`mpccbf` (margin 0.2,
     alpha from the param) and :func:`mpc_multi_agents` (margin 0.15,
@@ -424,6 +426,26 @@ def _cbf_nlp(
         J = jnp.where(obs_mask.repeat(N)[:, None], J, 0.0)
         return vals.reshape(-1), J
 
+    if warm_select is not None:
+        # runtime cold/warm selection in ONE traced solve (ipm.solve_qp_nl
+        # warm_if/iters_cap): per configuration the executed updates are
+        # bit-identical to the two-branch version, but under vmap a mixed
+        # fleet runs one tracker solve per lane instead of both branches
+        use_warm, (zw, lamw, sw) = warm_select
+        z_cold = jnp.zeros(n_z, dtype).at[n_u:].set(0.1)
+        zw = zw.at[n_u:].set(jnp.clip(zw[n_u:], 0.1, WARM_SLACK_MAX))
+        z0 = jnp.where(use_warm, zw, z_cold)
+        lam0 = jnp.clip(lamw, 1e-3, WARM_LAM_MAX)
+        s0 = jnp.clip(sw, 1e-2, WARM_S_MAX)
+        sol = ipm.solve_qp_nl(
+            H, g, C_lin, d_lin, c_nl, z0, lam0=lam0, s0=s0, iters=iters,
+            warm_if=use_warm,
+            iters_cap=jnp.where(
+                use_warm, iters if iters_warm is None else iters_warm, iters
+            ),
+        )
+        U = sol.z[:n_u].reshape(N, U_DIM)
+        return U, states_of(sol.z), sol
     if warm is None:
         z0 = jnp.zeros(n_z, dtype).at[n_u:].set(0.1)
         lam0 = s0 = None
@@ -493,7 +515,7 @@ def mpccbf(
     return U[0]
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "iters_warm"))
 def mpc_multi_agents(
     xcurv: jax.Array,
     x_targets: jax.Array,  # (N, X_DIM) interpolated overtake targets
@@ -510,13 +532,22 @@ def mpc_multi_agents(
     lap_length: jax.Array,
     warm=None,  # None | (z, lam, s) previous primal-dual iterate
     iters: int = 40,
+    warm_select=None,  # (use_warm traced bool, (z, lam, s)) runtime config
+    iters_warm: int | None = None,
 ):
     """Racing-game overtake tracker (reference mpc_multi_agents,
     control.py:251-473, with its hardcoded CBF_Flag=True branch: safety
     margin 0.15, alpha 0.6; the non-CBF geometric no-overlap rows at
     control.py:383-445 are dead code in the reference and not rebuilt).
     Targets interpolate the planner trajectory's ey over predicted s
-    (control.py:277,373-382).  Returns (u0, U, X, sol)."""
+    (control.py:277,373-382).  Returns (u0, U, X, sol).
+
+    ``warm_select=(use_warm, triple)`` with ``iters_warm`` merges the
+    episode-first-cold / then-warm protocol into one traced solve (cold:
+    warm=None init + the ``iters`` budget; warm: the triple + the
+    ``iters_warm`` cap), selected at runtime — per configuration
+    bit-identical to two separate calls; used by the fused racing game so
+    vmapped fleets don't execute both tracker branches."""
     N = x_targets.shape[0]
     U, X, sol = _cbf_nlp(
         xcurv,
@@ -537,6 +568,8 @@ def mpc_multi_agents(
         0.15,
         warm,
         iters=iters,
+        warm_select=warm_select,
+        iters_warm=iters_warm,
     )
     return U[0], U, X, sol
 

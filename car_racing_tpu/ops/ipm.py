@@ -827,6 +827,8 @@ def solve_qp_nl(
     s0: jax.Array | None = None,
     iters: int = 40,
     tol: float | None = None,
+    warm_if: jax.Array | None = None,
+    iters_cap: jax.Array | None = None,
 ) -> IPMSolution:
     """Solve ``min 1/2 z'Hz + g'z  s.t.  Cz >= d,  c_nl(z) >= 0``.
 
@@ -842,6 +844,18 @@ def solve_qp_nl(
     magnitude from stationarity — measured: the warm solve stalls at
     kkt_res ~ 1e4 while a cold solve converges.  Passing the previous
     step's (lam, s), pushed away from the boundary, fixes that.
+
+    ``warm_if`` (traced bool, requires lam0/s0) selects AT RUNTIME between
+    the warm init above and the cold init (s from the constraint values at
+    z0, lam = 0.1/s, mu = 1e-1) — the caller selects z0 itself.  With
+    ``iters_cap`` (traced, clamped to the static ``iters``) this merges a
+    cold-config and a warm-config solve into ONE traced program: per
+    configuration the executed update sequence is bit-identical to the
+    corresponding static call, and under vmap mixed batches run one solve
+    instead of one per configuration (lax.while_loop's batching rule
+    freezes each lane once ITS OWN predicate — convergence or cap —
+    fails).  Used by the racing-game tracker's episode-first-cold /
+    then-warm protocol (models/controllers._cbf_nlp warm_select).
     """
     n = H.shape[0]
     m1 = C.shape[0]
@@ -860,11 +874,22 @@ def solve_qp_nl(
         return ci, Ji
 
     ci0, _ = eval_c(z0)
-    s = jnp.maximum(ci0, 1e-2) if s0 is None else jnp.maximum(s0, 1e-3)
-    lam = (jnp.full((m,), 0.1, dtype) / s) if lam0 is None else jnp.maximum(lam0, 1e-3)
-    mu = jnp.asarray(1e-1, dtype) if lam0 is None else jnp.maximum(
-        jnp.sum(s * lam) / m, mu_floor
-    )
+    s_cold = jnp.maximum(ci0, 1e-2)
+    lam_cold = jnp.full((m,), 0.1, dtype) / s_cold
+    mu_cold = jnp.asarray(1e-1, dtype)
+    if lam0 is None:
+        s, lam, mu = s_cold, lam_cold, mu_cold
+    else:
+        s = jnp.maximum(s0, 1e-3)
+        lam = jnp.maximum(lam0, 1e-3)
+        mu = jnp.maximum(jnp.sum(s * lam) / m, mu_floor)
+        if warm_if is not None:
+            # runtime cold/warm selection; the cold triple comes from the
+            # caller-selected z0, which the caller set to ITS cold z0 on
+            # the cold side — identical to the lam0-is-None path there
+            s = jnp.where(warm_if, s, s_cold)
+            lam = jnp.where(warm_if, lam, lam_cold)
+            mu = jnp.where(warm_if, mu, mu_cold)
 
     def step(carry, _):
         z, s, lam, mu, done, done_iter, k = carry
@@ -914,8 +939,13 @@ def solve_qp_nl(
 
     # early exit once converged: the iterate is frozen (upd masks), so this
     # is bitwise identical to running the remaining budget
+    cap = (
+        jnp.asarray(iters, jnp.int32)
+        if iters_cap is None
+        else jnp.minimum(jnp.asarray(iters_cap, jnp.int32), iters)
+    )
     (z, s, lam, mu, done, done_iter, _) = jax.lax.while_loop(
-        lambda c: (~c[4]) & (c[6] < iters),
+        lambda c: (~c[4]) & (c[6] < cap),
         lambda c: step(c, None)[0],
         (z0, s, lam, mu, jnp.asarray(False), jnp.asarray(-1, jnp.int32),
          jnp.asarray(0, jnp.int32)),
@@ -930,8 +960,8 @@ def solve_qp_nl(
         s=s,
         converged=res < tol * GRADE_NL,
         kkt_res=res,
-        # real Newton-iteration count (first pass under tol; = iters when the
-        # budget was exhausted) — feeds the cbf_newton_iters_per_s BASELINE
-        # metric; never a constant fill (VERDICT r2 missing #4)
-        iterations=jnp.where(done_iter < 0, iters, done_iter),
+        # real Newton-iteration count (first pass under tol; = the cap when
+        # the budget was exhausted) — feeds the cbf_newton_iters_per_s
+        # BASELINE metric; never a constant fill (VERDICT r2 missing #4)
+        iterations=jnp.where(done_iter < 0, cap, done_iter),
     )

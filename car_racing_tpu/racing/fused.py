@@ -657,8 +657,9 @@ def rollout_racing_game(
     static n_veh+1 branches, and the CBF tracker sees the same
     MAX_OBSTACLES-row zero-padded obstacle layout the host builds
     (policies.py:565-581) with the host's cold/warm iteration split
-    (CBF_ITERS_COLD + warm=None on the first step of an episode via an
-    inner ``lax.cond``, CBF_ITERS_WARM + shifted primal-dual triple after) —
+    (CBF_ITERS_COLD + warm=None on the first step of an episode,
+    CBF_ITERS_WARM + shifted primal-dual triple after, selected at runtime
+    in one traced solve via mpc_multi_agents ``warm_select``) —
     the fused lap is numerically identical to the host loop
     (tests/test_fused.py::test_fused_racing_game_matches_host_loop).
 
@@ -743,11 +744,12 @@ def rollout_racing_game(
         keeps the ey-descending order, branch validity / neighbor gates
         follow the active count m, the tracker sees the host's
         MAX_OBSTACLES-row zero-padded obstacle layout.  The tracker solve
-        runs under an inner ``lax.cond``: the episode-first step takes
-        the host's COLD configuration (warm=None + the cold iteration
-        budget), later steps the shifted warm triple + the warm budget
-        (policies.py:600-601) — the corridor planner itself is computed
-        once, outside that cond, so vmapped fleets don't duplicate it."""
+        selects its configuration AT RUNTIME (mpc_multi_agents
+        warm_select): the episode-first step takes the host's COLD
+        configuration (warm=None init + the cold iteration budget), later
+        steps the shifted warm triple + the warm budget
+        (policies.py:600-601) — one traced solve, bit-identical per
+        configuration, so vmapped fleets run one tracker per lane."""
         (x, t, ss1, lin_points, lin_input, u_prev, z_warm, warm_ma, old_dir,
          interest) = op
         m = jnp.sum(interest)  # >= 1 on this branch
@@ -847,26 +849,22 @@ def rollout_racing_game(
         obs_halfs_t = jnp.where(row_active[:, None], agent_half[None], 1.0)
         gate = controllers.obstacle_gate_mask(x, obs_tr[:, 0, 4], L)
 
-        def solve_tracker(cold: bool, wm):
-            u0, U, Xp, sol = controllers.mpc_multi_agents(
-                x, x_targets, rg_param.A, rg_param.B, rg_param.Q, rg_param.R,
-                sys_param, W, obs_tr, row_active & gate, agent_half,
-                obs_halfs_t, L,
-                warm=None if cold else wm,
-                iters=tracker_iters_cold if cold else tracker_iters,
-            )
-            return u0, U, Xp, controllers.shift_cbf_warm(sol, Nc, _N_OBS)
-
         # episode-first step: the host's _z_warm_ma is None and it solves
         # COLD with the cold iteration budget (policies.py:600-601); after
         # that the shifted primal-dual triple + warm budget.  old_dir < 0
         # exactly tracks "episode not live" (both reset on the LMPC branch).
-        u0, U, Xp, warm_ma_next = jax.lax.cond(
-            old_dir >= 0,
-            lambda wm: solve_tracker(False, wm),
-            lambda wm: solve_tracker(True, wm),
-            warm_ma,
+        # warm_select merges both configurations into ONE traced solve
+        # (bit-identical per configuration, see mpc_multi_agents) so
+        # vmapped fleets run one tracker solve per lane, not two branches.
+        u0, U, Xp, sol = controllers.mpc_multi_agents(
+            x, x_targets, rg_param.A, rg_param.B, rg_param.Q, rg_param.R,
+            sys_param, W, obs_tr, row_active & gate, agent_half,
+            obs_halfs_t, L,
+            iters=tracker_iters_cold,
+            warm_select=(old_dir >= 0, warm_ma),
+            iters_warm=tracker_iters,
         )
+        warm_ma_next = controllers.shift_cbf_warm(sol, Nc, _N_OBS)
         lin_points_next = jnp.concatenate([Xp[1:], Xp[-1:]], axis=0)
         lin_input_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
         pad_p = N + 1 - lin_points_next.shape[0]

@@ -582,6 +582,27 @@ class LMPCRacingGame(ControlBase):
             agent_half = jnp.asarray(
                 [float(ego_model.param.length) / 2, float(ego_model.param.width) / 2]
             )
+            # runtime-selected cold/warm tracker configuration
+            # (mpc_multi_agents warm_select): ONE compiled program for both
+            # the episode-first cold solve (warm=None init, CBF_ITERS_COLD)
+            # and the warm continuation (shifted triple, CBF_ITERS_WARM) —
+            # the SAME graph the fused racing game runs, which is what
+            # keeps the host loop and racing/fused.rollout_racing_game
+            # bit-identical per step (compilation-level rounding differs
+            # between the merged and two-branch formulations by ~1e-13,
+            # which closed-loop chaos amplifies into different laps)
+            use_warm = self._z_warm_ma is not None
+            nz_t = Nc * U_DIM + MAX_OBSTACLES * (Nc + 1)
+            m_t = 2 * Nc * U_DIM + 4 * Nc + MAX_OBSTACLES * (2 * Nc + 1)
+            trip = (
+                self._z_warm_ma
+                if use_warm
+                else (
+                    jnp.zeros(nz_t, x.dtype),
+                    jnp.full((m_t,), 1.0, x.dtype),
+                    jnp.full((m_t,), 0.1, x.dtype),
+                )  # ignored placeholder on the cold side
+            )
             with GLOBAL_TIMER.measure("mpc_multi_agents"):
                 u0, U, X, ma_sol = ctrl.mpc_multi_agents(
                     jnp.asarray(x),
@@ -597,8 +618,9 @@ class LMPCRacingGame(ControlBase):
                     agent_half,
                     jnp.asarray(obs_halfs),
                     jnp.asarray(self.lap_length),
-                    warm=self._z_warm_ma,
-                    iters=CBF_ITERS_COLD if self._z_warm_ma is None else CBF_ITERS_WARM,
+                    iters=CBF_ITERS_COLD,
+                    warm_select=(jnp.asarray(use_warm), trip),
+                    iters_warm=CBF_ITERS_WARM,
                 )
                 self.u = np.asarray(u0)
             self._z_warm_ma = _shift_cbf_warm(ma_sol, Nc, MAX_OBSTACLES)
