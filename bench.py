@@ -540,6 +540,32 @@ def main():
     fleet_target = 1.0 / (LATENCY_TARGET_MS * 1e-3)  # lane-steps/s at 10 ms each
     emit("racing_game_fleet_lane_steps_per_s", thr, "1/s", thr / fleet_target)
 
+    # saturated fleet: per-lane throughput keeps rising with batch (the
+    # sequential per-step depth amortizes over more lanes in the batched
+    # Cholesky/regression ops) — measured 450 -> 522 -> 596 lane-steps/s at
+    # B = 8/32/64, so the 8-lane figure above understates chip capacity;
+    # this is the production-throughput number at saturation
+    B_sat = 64
+    pert_s = np.zeros((B_sat, X_DIM))
+    pert_s[:, 5] = rngs["fleet"].normal(0, 0.01, B_sat)
+    xc0_s = j("xcurv0") + jnp.asarray(pert_s, dtype)
+    xg0_s = jnp.broadcast_to(j("xglob0"), (B_sat, X_DIM))
+
+    def run_fleet_sat():
+        return fused.rollout_racing_game_batch(
+            track_wide, bike, lmpc_param, rg_param, sysp, xc0_s, xg0_s,
+            j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+            jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+            jnp.asarray(seed["counter"], jnp.int32),
+            j("lin_points0"), j("lin_input0"),
+            s_coef_rg, ey_coef_rg, opti, n_steps=fleet_steps,
+            dynamics_unroll=10,
+        )
+
+    t = _timed(run_fleet_sat, reps=3, block=block)
+    thr = B_sat * fleet_steps / float(np.percentile(t, 50))
+    emit("racing_game_fleet64_lane_steps_per_s", thr, "1/s", thr / fleet_target)
+
     # ---- 8. learning fleet (scenario DP over the learning protocol) ---------
     # B independent multi-lap learning curves from shared seed columns via
     # rollout_lmpc_learning_batch (in-scan add_trajectory promotion per lane)

@@ -857,6 +857,11 @@ def solve_qp_nl(
     fails).  Used by the racing-game tracker's episode-first-cold /
     then-warm protocol (models/controllers._cbf_nlp warm_select).
     """
+    if warm_if is not None and (lam0 is None or s0 is None):
+        raise ValueError(
+            "warm_if selects between the warm (lam0/s0) and cold inits at "
+            "runtime — it requires lam0 and s0 to be provided"
+        )
     n = H.shape[0]
     m1 = C.shape[0]
     m2 = jax.eval_shape(lambda z: c_nl(z)[0], z0).shape[0]

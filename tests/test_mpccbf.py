@@ -131,3 +131,69 @@ def test_mpc_multi_agents_nocbf_geometric_rows():
         jnp.asarray(-10.0), jnp.asarray(rg),
     )
     assert float(np.asarray(Xb)[-1, 5]) > 0.15
+
+
+def test_warm_select_matches_separate_configs():
+    """mpc_multi_agents(warm_select=...) — the runtime cold/warm merged
+    solve the racing game uses — must reproduce the two separate static
+    configurations on the same problem: cold side vs (warm=None,
+    iters=cold budget), warm side vs (warm=triple, iters=warm budget).
+    The executed update sequences are identical by construction; the only
+    permitted difference is compilation-level rounding (~1e-13, the reason
+    host AND fused both use the merged call — see policies.py)."""
+    import jax.numpy as jnp
+
+    from car_racing_tpu.models import controllers
+    from car_racing_tpu.utils import params
+
+    rgp = params.RacingGameParam.default(alpha=0.8)
+    sysp = params.SystemParam.default()
+    Nc = rgp.num_horizon_ctrl
+    n_obs = 4
+    x = jnp.asarray([2.0, 0.01, 0.0, 0.02, 5.0, -0.1])
+    x_t = jnp.zeros((Nc, X_DIM)).at[:, 0].set(2.0).at[:, 5].set(-0.2)
+    obs = np.zeros((n_obs, Nc + 1, X_DIM))
+    obs[0, :, 4] = 5.5 + 0.07 * np.arange(Nc + 1)
+    obs[0, :, 5] = -0.3
+    obs[1, :, 4] = 6.5 + 0.07 * np.arange(Nc + 1)
+    obs[1, :, 5] = -0.5
+    mask = jnp.asarray([True, True, False, False])
+    ah = jnp.asarray([0.2, 0.1])
+    ohs = jnp.where(mask[:, None], ah[None], 1.0)
+    args = (
+        x, x_t, rgp.A, rgp.B, rgp.Q, rgp.R, sysp, jnp.asarray(1.0),
+        jnp.asarray(obs), mask, ah, ohs, jnp.asarray(19.2),
+    )
+    nz = Nc * 2 + n_obs * (Nc + 1)
+    m = 2 * Nc * 2 + 4 * Nc + n_obs * (2 * Nc + 1)
+    placeholder = (
+        jnp.zeros(nz).at[Nc * 2:].set(0.1), jnp.full(m, 1.0), jnp.full(m, 0.1)
+    )
+
+    # cold
+    _, Ua, _, sola = controllers.mpc_multi_agents(*args, warm=None, iters=40)
+    _, Ub, _, solb = controllers.mpc_multi_agents(
+        *args, iters=40, warm_select=(jnp.asarray(False), placeholder),
+        iters_warm=20,
+    )
+    np.testing.assert_allclose(np.asarray(Ua), np.asarray(Ub), atol=1e-9)
+    assert int(sola.iterations) == int(solb.iterations)
+
+    # warm from the cold solution's shifted-style triple
+    warm = (sola.z, sola.lam, sola.s)
+    _, Uc, _, solc = controllers.mpc_multi_agents(*args, warm=warm, iters=20)
+    _, Ud, _, sold = controllers.mpc_multi_agents(
+        *args, iters=40, warm_select=(jnp.asarray(True), warm), iters_warm=20
+    )
+    np.testing.assert_allclose(np.asarray(Uc), np.asarray(Ud), atol=1e-9)
+    assert int(solc.iterations) == int(sold.iterations)
+
+    # warm_if without a dual triple is a caller bug, rejected loudly
+    from car_racing_tpu.ops import ipm
+
+    with pytest.raises(ValueError):
+        ipm.solve_qp_nl(
+            jnp.eye(2), jnp.zeros(2), jnp.eye(2), jnp.full(2, -1.0),
+            lambda z: (jnp.zeros(0), jnp.zeros((0, 2))), jnp.zeros(2),
+            warm_if=jnp.asarray(True),
+        )
