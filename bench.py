@@ -542,9 +542,10 @@ def main():
 
     # saturated fleet: per-lane throughput keeps rising with batch (the
     # sequential per-step depth amortizes over more lanes in the batched
-    # Cholesky/regression ops) — measured 450 -> 522 -> 596 lane-steps/s at
-    # B = 8/32/64, so the 8-lane figure above understates chip capacity;
-    # this is the production-throughput number at saturation
+    # Cholesky/regression ops) — measured 450 -> 522 -> 596 -> 636
+    # lane-steps/s at B = 8/32/64/128, so the 8-lane figure above
+    # understates chip capacity; 64 sits at the knee (128 buys +7% for 2x
+    # bench runtime) and is the production-throughput number recorded here
     B_sat = 64
     pert_s = np.zeros((B_sat, X_DIM))
     pert_s[:, 5] = rngs["fleet"].normal(0, 0.01, B_sat)
