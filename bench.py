@@ -517,27 +517,30 @@ def main():
     # B simultaneous complete racing games on one chip via
     # rollout_racing_game_batch; throughput in lane-steps/s (target: each
     # lane-step within the 10 ms solve budget -> B*steps / (B*steps*10ms))
-    B_f, fleet_steps = 8, 100
-    pert = np.zeros((B_f, X_DIM))
-    pert[:, 5] = rngs["fleet"].normal(0, 0.01, B_f)
-    xc0_b = j("xcurv0") + jnp.asarray(pert, dtype)
-    xg0_b = jnp.broadcast_to(j("xglob0"), (B_f, X_DIM))
-
-    def run_fleet():
-        return fused.rollout_racing_game_batch(
-            track_wide, bike, lmpc_param, rg_param, sysp, xc0_b, xg0_b,
-            j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
-            jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
-            jnp.asarray(seed["counter"], jnp.int32),
-            j("lin_points0"), j("lin_input0"),
-            s_coef_rg, ey_coef_rg, opti, n_steps=fleet_steps,
-            dynamics_unroll=10,
-        )
-
-    t = _timed(run_fleet, reps=5, block=block)
-    lane_steps = B_f * fleet_steps
-    thr = lane_steps / float(np.percentile(t, 50))
+    fleet_steps = 100
     fleet_target = 1.0 / (LATENCY_TARGET_MS * 1e-3)  # lane-steps/s at 10 ms each
+
+    def fleet_throughput(B, reps):
+        pert = np.zeros((B, X_DIM))
+        pert[:, 5] = rngs["fleet"].normal(0, 0.01, B)
+        xc0 = j("xcurv0") + jnp.asarray(pert, dtype)
+        xg0 = jnp.broadcast_to(j("xglob0"), (B, X_DIM))
+
+        def run():
+            return fused.rollout_racing_game_batch(
+                track_wide, bike, lmpc_param, rg_param, sysp, xc0, xg0,
+                j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
+                jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
+                jnp.asarray(seed["counter"], jnp.int32),
+                j("lin_points0"), j("lin_input0"),
+                s_coef_rg, ey_coef_rg, opti, n_steps=fleet_steps,
+                dynamics_unroll=10,
+            )
+
+        t = _timed(run, reps=reps, block=block)
+        return B * fleet_steps / float(np.percentile(t, 50)), xc0, xg0
+
+    thr, xc0_b, xg0_b = fleet_throughput(8, reps=5)
     emit("racing_game_fleet_lane_steps_per_s", thr, "1/s", thr / fleet_target)
 
     # saturated fleet: per-lane throughput keeps rising with batch (the
@@ -546,25 +549,7 @@ def main():
     # lane-steps/s at B = 8/32/64/128, so the 8-lane figure above
     # understates chip capacity; 64 sits at the knee (128 buys +7% for 2x
     # bench runtime) and is the production-throughput number recorded here
-    B_sat = 64
-    pert_s = np.zeros((B_sat, X_DIM))
-    pert_s[:, 5] = rngs["fleet"].normal(0, 0.01, B_sat)
-    xc0_s = j("xcurv0") + jnp.asarray(pert_s, dtype)
-    xg0_s = jnp.broadcast_to(j("xglob0"), (B_sat, X_DIM))
-
-    def run_fleet_sat():
-        return fused.rollout_racing_game_batch(
-            track_wide, bike, lmpc_param, rg_param, sysp, xc0_s, xg0_s,
-            j("ss1"), j("q1"), j("ss2"), j("q2"), j("u1"), j("u2"),
-            jnp.asarray(seed["valid1"]), jnp.asarray(seed["valid2"]),
-            jnp.asarray(seed["counter"], jnp.int32),
-            j("lin_points0"), j("lin_input0"),
-            s_coef_rg, ey_coef_rg, opti, n_steps=fleet_steps,
-            dynamics_unroll=10,
-        )
-
-    t = _timed(run_fleet_sat, reps=3, block=block)
-    thr = B_sat * fleet_steps / float(np.percentile(t, 50))
+    thr, _, _ = fleet_throughput(64, reps=3)
     emit("racing_game_fleet64_lane_steps_per_s", thr, "1/s", thr / fleet_target)
 
     # ---- 8. learning fleet (scenario DP over the learning protocol) ---------
@@ -580,7 +565,7 @@ def main():
         )
 
     t = _timed(run_learn_fleet, reps=5, block=block)
-    thr = lane_steps / float(np.percentile(t, 50))
+    thr = xc0_b.shape[0] * fleet_steps / float(np.percentile(t, 50))
     emit("learning_fleet_lane_steps_per_s", thr, "1/s", thr / fleet_target)
 
     # regenerate the README benchmark table from the artifact just written

@@ -431,6 +431,12 @@ def _cbf_nlp(
         # warm_if/iters_cap): per configuration the executed updates are
         # bit-identical to the two-branch version, but under vmap a mixed
         # fleet runs one tracker solve per lane instead of both branches
+        if warm is not None:
+            raise ValueError(
+                "pass either warm (static config) or warm_select (runtime "
+                "cold/warm selection), not both — warm would be silently "
+                "ignored"
+            )
         use_warm, (zw, lamw, sw) = warm_select
         z_cold = jnp.zeros(n_z, dtype).at[n_u:].set(0.1)
         zw = zw.at[n_u:].set(jnp.clip(zw[n_u:], 0.1, WARM_SLACK_MAX))

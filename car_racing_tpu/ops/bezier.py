@@ -94,8 +94,8 @@ def corridor_control_points(
 
     idx = jnp.arange(n_cor)
     # mid control ey per corridor (planner_helper.py:98-119); the bottom
-    # vehicle is row num_active-1 (the last ACTIVE row), dynamic when the
-    # interest subset is
+    # vehicle is row num_active-1 (the last ACTIVE row) — a traced index
+    # when the caller passes a runtime interest count
     ey_top = 0.8 * track_width - (-veh_info[0, 1] - 0.5 * veh_width) * 0.2
     ey_bot = -0.8 * track_width + (
         jnp.take(veh_info[:, 1], num_active - 1) - 0.5 * veh_width
@@ -111,9 +111,7 @@ def corridor_control_points(
 
     # terminal ey from the stored raceline, wrapped (planner_helper.py:121-134)
     s3_w = jnp.where(s3 >= lap_length, s3 - lap_length, s3)
-    ey3 = jax.vmap(lambda s: jnp.where(s <= opt_s[0], opt_ey[0], jnp.interp(s, opt_s, opt_ey)))(
-        s3_w
-    )
+    ey3 = jax.vmap(opt_ey_at)(s3_w)
 
     cp = jnp.stack(
         [
