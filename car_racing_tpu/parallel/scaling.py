@@ -232,22 +232,47 @@ def measure_collective_traffic(n_devices: int | None = None,
     prog = mesh_mod.sweep_program(mesh, horizon, inputs[0].dtype)
     txt = prog.lower(*inputs).compile().as_text()
 
-    pat = re.compile(
-        r"=\s+(\w+)\[([\d,]*)\][^=]*?"
-        r"\b(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-        r"\(.*?replica_groups=\{\{([\d,]+)\}",
-    )
+    op_names = ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute", "all-to-all")
+    # parse line-wise so tuple-shaped outputs ("= (f32[...], f32[...])
+    # all-reduce(...)") and BOTH replica_groups encodings are handled:
+    # explicit lists ({{0,1,2,3},{4,5,6,7}} -> size of the first group)
+    # and the iota form ([G,S]<=[T] -> group size S) newer XLA emits
+    shape_pat = re.compile(r"(\w+)\[([\d,]*)\]")
+    groups_list = re.compile(r"replica_groups=\{\{([\d,]+)\}")
+    groups_iota = re.compile(r"replica_groups=\[(\d+)(?:,(\d+))?\]<=\[(\d+)\]")
     per_op: dict = {}
     total_ici = 0.0
     n_ops = 0
-    for m in pat.finditer(txt):
-        dt, dims, op, group0 = m.groups()
-        numel = 1
-        for d in dims.split(","):
-            if d:
-                numel *= int(d)
-        out_bytes = numel * _HLO_DTYPE_BYTES.get(dt, 4)
-        g = max(1, len(group0.split(",")))
+    unparsed = 0
+    for line in txt.splitlines():
+        op = next(
+            (o for o in op_names if f" {o}(" in line or f"{o}-start(" in line),
+            None,
+        )
+        if op is None or "=" not in line:
+            continue
+        lhs = line.split(f" {op}", 1)[0]
+        if "replica_groups" not in line:
+            continue
+        mlist = groups_list.search(line)
+        miota = groups_iota.search(line)
+        shapes = shape_pat.findall(lhs.split("=", 1)[1])
+        if (mlist is None and miota is None) or not shapes:
+            unparsed += 1
+            continue
+        if mlist is not None:
+            g = max(1, len(mlist.group(1).split(",")))
+        else:
+            # [G,S]<=[T]: S ids per group; [T]<=[T] (one flat group): T
+            g = int(miota.group(2) or miota.group(3))
+        out_bytes = 0
+        for dt, dims in shapes:
+            numel = 1
+            for d in dims.split(","):
+                if d:
+                    numel *= int(d)
+            out_bytes += numel * _HLO_DTYPE_BYTES.get(dt, 4)
         ring = (g - 1) / g
         factor = {"all-gather": ring, "all-reduce": 2 * ring,
                   "reduce-scatter": ring}.get(op, 1.0)
@@ -263,6 +288,11 @@ def measure_collective_traffic(n_devices: int | None = None,
         "per_op": per_op,
         "ici_bytes_per_device": total_ici,
         "n_collective_ops": n_ops,
+        # collectives seen but not parsed (unknown replica_groups/shape
+        # encoding) — a nonzero value means the traffic figure is a lower
+        # bound; gated to 0 in tests so an XLA printing change fails loudly
+        # instead of silently biasing the efficiency projection
+        "unparsed_collectives": unparsed,
         "source": "compiled HLO of mesh.sweep_program (ring-algorithm "
                   "per-device traffic from output shapes x replica-group size)",
     }

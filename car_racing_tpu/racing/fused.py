@@ -193,7 +193,7 @@ def rollout_ilqr(
     n_steps: int = 100,
     control_dt: float = 0.1,
     sub_dt: float = 0.001,
-    warm_start: bool = False,
+    warm_start: bool = True,
 ):
     """Closed-loop iLQR racing entirely on-device.
 
@@ -206,13 +206,14 @@ def rollout_ilqr(
     obstacle, replicating the reference's keep-only-the-last-listed-vehicle
     behavior (control.py:100-110).
 
-    ``warm_start=True`` shift-warm-starts each solve from the previous
-    step's sequence (mirroring iLQRRacing(warm_start=True)).  This is NOT
-    behavior-neutral: the nonconvex solve lands in a different local
-    optimum — cold zero-init settles behind a blocking car (the
-    reference's behavior); warm solves keep momentum and take the
-    collision-free passing line, converging in a few Levenberg iterations
-    instead of ~10-20 (the latency headline in bench.py).
+    ``warm_start=True`` (the default, matching the iLQRRacing policy's
+    default) shift-warm-starts each solve from the previous step's
+    sequence.  This is NOT behavior-neutral: the nonconvex solve lands in
+    a different local optimum — ``warm_start=False`` reproduces the
+    reference's cold zero-init, which settles behind a blocking car
+    (pinned by the ilqr_ellipse golden and the cold parity test); warm
+    solves keep momentum and take the collision-free passing line,
+    converging in a few Levenberg iterations instead of ~10-20.
 
     Returns (xcurv_traj (n_steps+1, X), u_traj (n_steps, U),
     iters (n_steps,) int32 — REAL per-solve Levenberg iteration counts,

@@ -102,7 +102,9 @@ def _scenarios():
     xc, _, _ = fused.rollout_ilqr(
         track_ell, bike, ilqr_param, xt, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         jnp.asarray([0.2, 5.0]), jnp.asarray([0.0, 0.1]), half, half,
-        n_steps=100,
+        n_steps=100, warm_start=False,  # the golden pins the reference's
+        # cold-solve behavior (settles behind the car); the product default
+        # is warm (policies.iLQRRacing / rollout_ilqr warm_start=True)
     )
     out["ilqr_ellipse"] = np.asarray(xc)
 

@@ -115,6 +115,7 @@ def test_fused_ilqr_matches_host_loop():
     xc, us, its = fused.rollout_ilqr(
         track, bike, ilqr_param, xtarget, jnp.zeros(X_DIM), jnp.zeros(X_DIM),
         jnp.asarray(obs_s), jnp.asarray(obs_ey), half, half, n_steps=n_steps,
+        warm_start=False,  # this pair pins the COLD (reference-behavior) path
     )
     xc = np.asarray(xc)
     # REAL per-solve Levenberg counts: spread, early-exit, never max_iter

@@ -285,6 +285,10 @@ def test_scaling_artifact(mesh, repo_root):
     traffic = report["collective_traffic"]
     assert traffic["n_collective_ops"] >= 2  # all_gather(costs) + psum(X_best)
     assert traffic["ici_bytes_per_device"] > 0
+    # every collective the HLO contains must be PARSED (both explicit-list
+    # and iota replica_groups encodings, tuple-shaped outputs): a partial
+    # miss would silently undercount ICI bytes and inflate the projection
+    assert traffic["unparsed_collectives"] == 0, traffic
     assert "all-gather" in traffic["per_op"] and "all-reduce" in traffic["per_op"]
     proj = report["analytic_projection"]
     assert proj["bytes_source"].startswith("compiled HLO")
