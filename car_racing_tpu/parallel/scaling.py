@@ -252,6 +252,7 @@ def measure_collective_traffic(n_devices: int | None = None,
         )
         if op is None or "=" not in line:
             continue
+        is_async_start = f"{op}-start(" in line
         lhs = line.split(f" {op}", 1)[0]
         if "replica_groups" not in line:
             continue
@@ -261,6 +262,10 @@ def measure_collective_traffic(n_devices: int | None = None,
         if (mlist is None and miota is None) or not shapes:
             unparsed += 1
             continue
+        if is_async_start and len(shapes) > 1:
+            # async collectives return an (operand, result) tuple — only
+            # the RESULT moves over ICI; summing both would double-count
+            shapes = shapes[-1:]
         if mlist is not None:
             g = max(1, len(mlist.group(1).split(",")))
         else:
@@ -572,8 +577,6 @@ def _lmpc_step_cost_analysis(n_steps: int = 20):
     """(flops, bytes) per LMPC learning-lap step from XLA's cost model of
     the jitted fused rollout (racing/fused.rollout_lmpc_lap).  Returns
     None if the fixture or cost model is unavailable."""
-    import os
-
     import jax
 
     from ..ops import dynamics, track as track_ops

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import controllers
-from ..ops import bezier as bezier_mod, dynamics, ipm, lmpc_learning, ocp, track as track_ops
+from ..ops import bezier as bezier_mod, dynamics, lmpc_learning, track as track_ops
 from ..ops.ipm import _highp
 from ..utils.constants import U_DIM, X_DIM
 from ..utils.params import LMPCParam, MPCCBFParam, MPCParam, SystemParam

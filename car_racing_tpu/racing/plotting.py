@@ -20,7 +20,6 @@ import matplotlib.animation as anim
 import matplotlib.patches as patches
 
 from ..ops import track as track_ops
-from ..utils.constants import X_DIM
 
 
 def plot_track(ax, track, center_line=True, points_per_meter=100):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dynamics, track as track_ops
-from ..utils.constants import U_DIM, X_DIM
+from ..utils.constants import U_DIM
 from ..utils.params import CarParam, SystemParam
 
 # Horizon-batched Frenet->global transform (single device call per horizon).

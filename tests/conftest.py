@@ -29,7 +29,6 @@ if _TEST_PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-import numpy as np
 import pytest
 
 

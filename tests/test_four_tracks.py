@@ -8,7 +8,6 @@ sweep of realistic states, and closed-loop MPC must track on every layout.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

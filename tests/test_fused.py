@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from car_racing_tpu.ops import dynamics, track as track_ops
 from car_racing_tpu.racing import fused, policies, simulator, vehicles

@@ -2,7 +2,6 @@
 ego with iLQR + CBF repelling cost vs one prescribed car)."""
 
 import numpy as np
-import pytest
 
 from car_racing_tpu.ops import track as track_ops
 from car_racing_tpu.racing import policies, simulator, vehicles

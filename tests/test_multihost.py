@@ -20,7 +20,6 @@ and the ROS node graph
 import json
 import os
 
-import numpy as np
 import pytest
 
 from car_racing_tpu.parallel import multihost, scaling

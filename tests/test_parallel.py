@@ -10,7 +10,7 @@ import pytest
 
 from car_racing_tpu.parallel import mesh as mesh_mod, scaling
 from car_racing_tpu.planning import overtake as ov
-from car_racing_tpu.utils.constants import U_DIM, X_DIM
+from car_racing_tpu.utils.constants import X_DIM
 
 
 @pytest.fixture(scope="module")
@@ -141,7 +141,6 @@ def test_fleet_rollout_shards_racing_game(mesh):
     run-to-run), and every lane is a valid racing rollout (finite, on
     track, making forward progress)."""
     from car_racing_tpu.ops import dynamics, track as track_ops
-    from car_racing_tpu.racing import fused
     from car_racing_tpu.utils import params
 
     seed = np.load("data/bench/lmpc_seed_l_shape.npz")
@@ -195,7 +194,6 @@ def test_learning_fleet_shards_protocol(mesh):
     with in-scan add_trajectory promotion, deterministically, from shared
     seed columns."""
     from car_racing_tpu.ops import dynamics, track as track_ops
-    from car_racing_tpu.racing import fused
     from car_racing_tpu.utils import params
 
     seed = np.load("data/bench/lmpc_seed_l_shape.npz")

@@ -2,7 +2,6 @@
 QPs, branch selection, and the distributed sweep on the 8-device mesh."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

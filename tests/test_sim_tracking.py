@@ -3,7 +3,6 @@
 numeric assertions the reference never had)."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from car_racing_tpu.ops import track as track_ops

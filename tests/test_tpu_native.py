@@ -81,7 +81,6 @@ def test_fused_integrator_full_closed_lap(track_and_bike):
     from car_racing_tpu.racing import fused
     from car_racing_tpu.utils import params
     from car_racing_tpu.utils.bench_fixtures import FIXTURE_PATH
-    from car_racing_tpu.utils.constants import X_DIM
 
     track, bike = track_and_bike
     seed = np.load(FIXTURE_PATH)

@@ -5,7 +5,6 @@ reference's segment walk (racing_env.py:6-246) and checks round-trip
 Frenet -> global -> Frenet consistency on all four stock layouts.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
